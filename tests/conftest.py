@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU platform before JAX loads.
+
+Multi-device sharding tests (SURVEY.md §4 implication: multi-device via
+xla_force_host_platform_device_count CPU meshes) run on this virtual topology;
+the real TPU path is exercised by bench.py / __graft_entry__.py instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {devs}"
+    return devs
