@@ -1,0 +1,44 @@
+"""Classifier-free guidance as a single fused dual-batch model call.
+
+Parity with the guidance branches in the reference sampler
+(``ldm/models/diffusion/ddim.py:505-517``): scale==1 -> conditional only,
+scale==0 -> unconditional only, otherwise one UNet call on the concatenated
+``[uncond; cond]`` batch followed by the guidance combine. The scale is a
+Python float resolved at trace time, so each branch compiles to a distinct
+XLA program with no runtime conditionals.
+
+TPU-first: the dual batch doubles the matmul batch dimension, which the MXU
+prefers over two half-size calls; the combine fuses into the surrounding
+scan step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+# model_fn(x, t, cond) -> eps, where cond is whatever the backend consumes
+# (a context tensor for cross-attention, a class embedding, or None).
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray, Any], jnp.ndarray]
+
+
+def cfg_model_fn(model_fn: ModelFn, uncond, cond, scale: float) -> Callable:
+    """Wrap ``model_fn`` into an unconditional-guidance-scaled eps predictor.
+
+    Returns ``fn(x, t) -> eps`` with conditioning closed over.
+    """
+    if uncond is None or scale == 1.0:
+        def fn(x, t):
+            return model_fn(x, t, cond)
+    elif scale == 0.0:
+        def fn(x, t):
+            return model_fn(x, t, uncond)
+    else:
+        def fn(x, t):
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            c_in = jnp.concatenate([uncond, cond], axis=0)
+            e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in), 2, axis=0)
+            return e_uncond + scale * (e_cond - e_uncond)
+    return fn
