@@ -1,0 +1,109 @@
+"""Spatial transformer blocks for cross-attention UNets (LDM / SD), NHWC Flax.
+
+Parity with ``model/lib/stable_diffusion/ldm/modules/attention.py``:
+``CrossAttention`` (:152-193, bias-free qkv, 1/sqrt(d) scale),
+``BasicTransformerBlock`` (:196-215, self-attn -> cross-attn -> GEGLU FF,
+pre-LayerNorm, each residual), ``SpatialTransformer`` (:218-261, GroupNorm ->
+1x1 proj_in -> blocks over (h w) tokens -> zero 1x1 proj_out, residual).
+
+These are the hot kernels of the SD workload (77-token KV cross-attention and
+up-to-4096-token self-attention); the einsum formulation lets XLA lay them on
+the MXU directly, and the fp32-softmax policy keeps bf16 runs stable.  A
+Pallas fused-attention path can be swapped inside ``cross_attention``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cyclediffusion_tpu.models.nn import GroupNorm, multi_head_attention
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention, q from x, k/v from context (or x if None)."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        query_dim = x.shape[-1]
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = multi_head_attention(q, k, v, self.heads)
+        return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        proj = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        return h * jax.nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward with 4x expansion (attention.py:50-66)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = GEGLU(dim * 4, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        attn = lambda name: CrossAttention(
+            heads=self.heads, dim_head=self.dim_head, dtype=self.dtype, name=name
+        )
+        x = attn("attn1")(ln("norm1")(x)) + x
+        x = attn("attn2")(ln("norm2")(x), context=context) + x
+        x = FeedForward(dtype=self.dtype, name="ff")(ln("norm3")(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> 1x1 in -> transformer over spatial tokens -> zero 1x1 out."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        hidden = GroupNorm(32, 1e-6, name="norm")(x)
+        hidden = nn.Dense(inner, dtype=self.dtype, name="proj_in")(hidden)
+        hidden = hidden.reshape(b, h * w, inner)
+        for d in range(self.depth):
+            hidden = BasicTransformerBlock(
+                heads=self.heads, dim_head=self.dim_head, dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(hidden, context=context)
+        hidden = hidden.reshape(b, h, w, inner)
+        hidden = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
+        )(hidden)
+        return x + hidden

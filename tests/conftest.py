@@ -7,7 +7,10 @@ the real TPU path is exercised by bench.py / __graft_entry__.py instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points JAX at a TPU ('axon'): tests
+# must be hardware-independent, and TPU default matmul precision (bf16
+# passes) breaks fp32 parity tolerances.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
