@@ -1,0 +1,13 @@
+"""No-op evaluator for source-only tasks (parity: ``evaluation/empty.py``)."""
+
+from __future__ import annotations
+
+
+class Evaluator:
+    def __init__(self, args, meta_args):
+        self.args = args
+        self.meta_args = meta_args
+
+    def evaluate(self, images, model, weighted_loss, losses, data, split):
+        assert split in ["eval", "test"]
+        return {}

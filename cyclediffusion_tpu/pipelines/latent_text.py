@@ -1,0 +1,302 @@
+"""Text-conditioned stochastic latent pipelines: SD v1.4 (512px) and LDM
+text2img-large (256px) zero-shot image editing.
+
+Parity with ``model/gan_wrapper/stable_diffusion_stochastic_text_wrapper.py``
+and ``latentdiff_stochastic_text_wrapper.py``:
+
+* ``encode(image, encode_text)`` -> z-ensemble ordered ``trial -> enc_scale ->
+  skip`` (:189-191), each z flattened with x_T first and
+  ``(white_box_steps - skip)`` entries (:203, :146-156).
+* ``forward(z_ensemble, original, enc_text, dec_text)`` -> decode each z under
+  every decoder guidance scale, score all candidates with DirectionalCLIP,
+  argmax per sample (:208-247); also returns the winning (enc_scale,
+  dec_scale, skip) combos the reference prints.
+
+TPU-first design: the VAE posterior is sampled ONCE per image (as in the
+reference) and shared by all chains; candidates sharing a ``skip`` value share
+one compiled scan, vmapped over (trial x enc_scale) with the guidance scale a
+*traced* scalar so scale sweeps don't recompile; decoding vmaps candidates x
+decoder scales in the same way; CLIP ranking embeds text twice and the
+original once, then scores the whole candidate batch in one call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclediffusion_tpu.energy.clean_clip import DirectionalCLIP
+from cyclediffusion_tpu.pipelines.latent import LatentCoreSpec, LatentDiffusionCore
+from cyclediffusion_tpu.samplers import ddim_decode, dpm_encode, num_recovered_eps
+
+
+def _guided_model_fn(apply_model, uc_ctx, c_ctx, scale):
+    """CFG eps-model with a traced ``scale`` (one compile for all scales).
+
+    Mirrors the dual-batch combine (ddim.py:513-517); unlike the reference's
+    static special cases for scale in {0, 1}, the general formula is exact for
+    them too, and a single program serves the whole sweep.
+    """
+
+    def fn(x, t):
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.concatenate([t, t], axis=0)
+        c_in = jnp.concatenate([uc_ctx, c_ctx], axis=0)
+        e_uc, e_c = jnp.split(apply_model(x_in, t_in, c_in), 2, axis=0)
+        return e_uc + scale * (e_c - e_uc)
+
+    return fn
+
+
+class StochasticTextPipeline:
+    """Shared implementation behind SDStochasticText / LatentDiffStochasticText."""
+
+    def __init__(
+        self,
+        core: LatentDiffusionCore,
+        tokenizer,
+        directional_clip: Optional[DirectionalCLIP],
+        *,
+        custom_steps: int,
+        eta: float,
+        white_box_steps: int,
+        skip_steps: Sequence[int],
+        encoder_unconditional_guidance_scales: Sequence[float],
+        decoder_unconditional_guidance_scales: Sequence[float],
+        n_trials: int,
+    ):
+        assert eta > 0
+        assert core.spec.cond_kind is not None
+        self.core = core
+        self.tokenizer = tokenizer
+        self.directional_clip = directional_clip
+        self.custom_steps = custom_steps
+        self.eta = eta
+        self.white_box_steps = white_box_steps
+        self.skip_steps = list(skip_steps)
+        self.enc_scales = list(encoder_unconditional_guidance_scales)
+        self.dec_scales = list(decoder_unconditional_guidance_scales)
+        self.n_trials = n_trials
+
+        self.sched = core.make_ddim_schedule(custom_steps, eta)
+        self.resolution = core.spec.resolution
+
+        self._cond_jit = jax.jit(core.get_learned_conditioning)
+        self._x0_jit = jax.jit(self._compute_x0)
+        # per-skip compiled encode/decode (few distinct skips -> few programs)
+        self._encode_skip = {
+            s: jax.jit(functools.partial(self._encode_chains, skip=s))
+            for s in sorted(set(self.skip_steps))
+        }
+        self._decode_skip = {
+            s: jax.jit(functools.partial(self._decode_chains, skip=s))
+            for s in sorted(set(self.skip_steps))
+        }
+        self._decode_jit = jax.jit(self.core.decode_first_stage)
+
+    # ---- conditioning --------------------------------------------------- #
+
+    def get_condition(self, texts) -> jnp.ndarray:
+        """c context for texts; uc is the encoding of "" (reference :28-36)."""
+        return self._cond_jit(self.tokenizer(list(texts)))
+
+    def uncond(self, batch: int) -> jnp.ndarray:
+        return self.get_condition([""] * batch)
+
+    # ---- first stage ----------------------------------------------------- #
+
+    def _compute_x0(self, image01, key):
+        spec = self.core.spec
+        image = (image01 - 0.5) * 2.0
+        if spec.fs_kind == "kl":
+            noise = jax.random.normal(
+                key,
+                (image.shape[0], spec.image_size, spec.image_size,
+                 spec.embed_dim),
+            )
+            return self.core.encode_first_stage(image, noise)
+        return self.core.encode_first_stage(image)
+
+    # ---- chains ---------------------------------------------------------- #
+
+    def _encode_chains(self, x0, c_ctx, uc_ctx, scales, keys, *, skip):
+        """vmapped DPM-Encoder over K candidates at one skip value.
+
+        scales: (K,), keys: (K,) -> (xT: (K,B,h,w,c), eps: (K,n,B,h,w,c)).
+        """
+
+        def one(scale, key):
+            fn = _guided_model_fn(self.core.apply_model, uc_ctx, c_ctx, scale)
+            return dpm_encode(
+                fn, self.sched, x0, key,
+                white_box_steps=self.white_box_steps, skip_steps=skip,
+            )
+
+        return jax.vmap(one)(scales, keys)
+
+    def _decode_chains(self, xT, eps, c_ctx, uc_ctx, scales, keys, *, skip):
+        """vmapped replay over K candidates at one skip -> latent samples."""
+
+        def one(xT_i, eps_i, scale, key):
+            fn = _guided_model_fn(self.core.apply_model, uc_ctx, c_ctx, scale)
+            return ddim_decode(fn, self.sched, xT_i, eps_i, key,
+                               skip_steps=skip)
+
+        return jax.vmap(one)(xT, eps, scales, keys)
+
+    # ---- reference protocol ---------------------------------------------- #
+
+    def encode(self, image01, encode_text, key) -> List[jnp.ndarray]:
+        """-> z_ensemble (list, order trial -> enc_scale -> skip), flattened."""
+        assert image01.shape[1] == image01.shape[2] == self.resolution
+        bsz = image01.shape[0]
+        k_vae, k_chains = jax.random.split(jnp.asarray(key))
+        x0 = self._x0_jit(image01, k_vae)
+        c_ctx = self.get_condition(list(encode_text))
+        uc_ctx = self.uncond(bsz)
+
+        combos = [
+            (trial, es, sk)
+            for trial in range(self.n_trials)
+            for es in self.enc_scales
+            for sk in self.skip_steps
+        ]
+        keys = jax.random.split(k_chains, len(combos))
+
+        # group by skip -> one vmapped call per distinct skip
+        results = {}
+        for skip in sorted(set(self.skip_steps)):
+            idxs = [i for i, (_, _, sk) in enumerate(combos) if sk == skip]
+            scales = jnp.asarray([combos[i][1] for i in idxs], jnp.float32)
+            xT, eps = self._encode_skip[skip](
+                x0, c_ctx, uc_ctx, scales, keys[jnp.asarray(idxs)]
+            )
+            for j, i in enumerate(idxs):
+                results[i] = (xT[j], eps[j])
+
+        z_ensemble = []
+        for i in range(len(combos)):
+            xT, eps = results[i]
+            z = jnp.concatenate([xT[None], eps], axis=0)      # (n+1, B, ...)
+            z_ensemble.append(jnp.moveaxis(z, 0, 1).reshape(bsz, -1))
+        return z_ensemble
+
+    def _unflatten(self, z, skip):
+        spec = self.core.spec
+        bsz = z.shape[0]
+        entries = (
+            self.white_box_steps - skip if self.white_box_steps != -1 else 1
+        )
+        z = z.reshape(bsz, entries, spec.image_size, spec.image_size,
+                      spec.channels)
+        return z[:, 0], jnp.moveaxis(z[:, 1:], 1, 0)
+
+    def generate(self, z_ensemble, decode_text, key) -> List[jnp.ndarray]:
+        """Each z x each decoder scale -> [0,1] image (order preserved)."""
+        bsz = z_ensemble[0].shape[0]
+        c_ctx = self.get_condition(list(decode_text))
+        uc_ctx = self.uncond(bsz)
+        keys = jax.random.split(
+            jnp.asarray(key), len(z_ensemble) * len(self.dec_scales)
+        )
+
+        imgs: List[Optional[jnp.ndarray]] = [None] * (
+            len(z_ensemble) * len(self.dec_scales)
+        )
+        for skip in sorted(set(self.skip_steps)):
+            idxs = [
+                i for i in range(len(z_ensemble))
+                if self.skip_steps[i % len(self.skip_steps)] == skip
+            ]
+            if not idxs:
+                continue
+            xTs, epss, scales, kidx, flat_pos = [], [], [], [], []
+            for i in idxs:
+                xT, eps = self._unflatten(z_ensemble[i], skip)
+                for d, ds in enumerate(self.dec_scales):
+                    xTs.append(xT)
+                    epss.append(eps)
+                    scales.append(ds)
+                    pos = i * len(self.dec_scales) + d
+                    flat_pos.append(pos)
+                    kidx.append(pos)
+            samples = self._decode_skip[skip](
+                jnp.stack(xTs), jnp.stack(epss), c_ctx, uc_ctx,
+                jnp.asarray(scales, jnp.float32), keys[jnp.asarray(kidx)],
+            )
+            decoded = self._decode_jit(
+                samples.reshape((-1,) + samples.shape[2:])
+            )
+            decoded = decoded.reshape(samples.shape[:2] + decoded.shape[1:])
+            for j, pos in enumerate(flat_pos):
+                imgs[pos] = (decoded[j] + 1.0) / 2.0
+        return [im for im in imgs if im is not None]
+
+    def forward(self, z_ensemble, original_img01, encode_text, decode_text,
+                key):
+        """Decode + DirectionalCLIP ranking -> (best image, per-sample combos).
+
+        Parity: wrapper ``forward`` :208-247 (including the ensemble-size
+        assert and the printed winning hyper-parameters).
+        """
+        assert self.directional_clip is not None, "ranking needs a CLIP scorer"
+        img_ensemble = self.generate(z_ensemble, decode_text, key)
+        assert len(img_ensemble) == (
+            len(self.dec_scales) * len(self.enc_scales)
+            * len(self.skip_steps) * self.n_trials
+        )
+
+        dclip = self.directional_clip
+        enc_feat = dclip.text_features(list(encode_text))
+        dec_feat = dclip.text_features(list(decode_text))
+        orig_feat = dclip.scorer.embed_image(original_img01)
+
+        scores = []
+        for img in img_ensemble:
+            _, dscore = dclip.score_with_features(
+                img, orig_feat, enc_feat, dec_feat
+            )
+            scores.append(dscore)
+        score_ensemble = jnp.stack(scores, axis=1)        # (B, n_candidates)
+        best_idx = jnp.argmax(score_ensemble, axis=1)
+
+        bsz = score_ensemble.shape[0]
+        stacked = jnp.stack(img_ensemble, axis=1)          # (B, n, H, W, C)
+        img = stacked[jnp.arange(bsz), best_idx]
+
+        # winning hyper-parameter report (reference :236-247)
+        n_inner = len(self.dec_scales) * len(self.enc_scales) * len(self.skip_steps)
+        combos = []
+        for b in range(bsz):
+            bi = int(best_idx[b]) % n_inner
+            combos.append(
+                (
+                    self.enc_scales[bi // (len(self.dec_scales) * len(self.skip_steps))],
+                    self.dec_scales[bi % (len(self.dec_scales) * len(self.skip_steps)) // len(self.skip_steps)],
+                    self.skip_steps[bi % len(self.skip_steps)],
+                )
+            )
+        return img, combos
+
+    def __call__(self, z_ensemble, original_img01, encode_text, decode_text,
+                 key):
+        img, combos = self.forward(
+            z_ensemble, original_img01, encode_text, decode_text, key
+        )
+        print("best scales:", combos)
+        return img
+
+
+def sd_stochastic_text_pipeline(core, tokenizer, dclip, **kw):
+    """Factory matching SDStochasticTextWrapper's config surface."""
+    assert core.spec.cond_kind == "clip"
+    return StochasticTextPipeline(core, tokenizer, dclip, **kw)
+
+
+def latentdiff_stochastic_text_pipeline(core, tokenizer, dclip, **kw):
+    assert core.spec.cond_kind == "bert"
+    return StochasticTextPipeline(core, tokenizer, dclip, **kw)

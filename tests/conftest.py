@@ -6,6 +6,10 @@ the real TPU path is exercised by bench.py / __graft_entry__.py instead.
 """
 
 import os
+import sys
+
+# repo root on sys.path so `import main` and `import cyclediffusion_tpu` work
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Force CPU even when the session env points JAX at a TPU ('axon'): tests
 # must be hardware-independent, and TPU default matmul precision (bf16

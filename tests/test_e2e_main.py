@@ -1,0 +1,49 @@
+"""End-to-end CLI tests: main.py on the tiny configs (random-init models).
+
+These exercise the full stack — config, registry, data, tasks, pipelines,
+ensemble ranking, evaluators, visualization, metric persistence — without any
+checkpoint or tokenizer assets.
+"""
+
+import json
+import os
+
+import pytest
+
+import main as cli
+
+
+@pytest.mark.slow
+def test_tiny_unpaired_translation_e2e(tmp_path):
+    out = str(tmp_path / "unpaired")
+    metrics = cli.main([
+        "--cfg", "experiments/tiny_unpaired_translation.cfg",
+        "--output_dir", out,
+        "--seed", "42",
+        "--do_eval",
+        "--per_device_eval_batch_size", "2",
+    ])
+    assert "eval_runtime" in metrics
+    results = json.load(open(os.path.join(out, "eval_results.json")))
+    assert results["eval_samples"] == 2
+    vis = os.listdir(os.path.join(out, "visualization"))
+    assert any(f.startswith("eval_") for f in vis)
+
+
+@pytest.mark.slow
+def test_tiny_text_translation_e2e(tmp_path):
+    out = str(tmp_path / "text")
+    metrics = cli.main([
+        "--cfg", "experiments/tiny_text_translation.cfg",
+        "--output_dir", out,
+        "--seed", "42",
+        "--do_eval",
+        "--per_device_eval_batch_size", "2",
+    ])
+    assert "eval_translate/psnr" in metrics
+    assert "eval_translate/d-clip" in metrics
+    assert "eval_avr" in metrics
+    # per-sample CSV from the translate_text evaluator
+    assert os.path.exists(os.path.join(out, "eval_results.csv"))
+    results = json.load(open(os.path.join(out, "all_results.json")))
+    assert "eval_translate/ssim" in results
