@@ -1,0 +1,116 @@
+"""Benchmark: SD-512 50-step CycleDiffusion decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/min/chip", "vs_baseline": N}
+
+Measures the real flagship compute: the Stable-Diffusion-v1 UNet
+(320ch, 64x64x4 latents, 77x768 context) running a full 50-step eps-replay
+chain with dual-batch CFG as one jitted lax.scan, bf16 activations, random
+weights (numerics are weight-independent for throughput).  Also reports the
+p50 per-UNet-step latency inside the JSON line's "extra" field.
+
+Baseline: the reference implementation runs this workload on one A100 at
+~3.5 s/image for 50 steps (PyTorch fp16, per SURVEY.md §6 context — the
+repo publishes no number, so this is the standard community figure) =>
+17.14 images/min.  vs_baseline = ours / 17.14.
+
+On a CPU-only host (no TPU), a tiny UNet keeps the bench runnable; the JSON
+marks the config accordingly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_IMAGES_PER_MIN = 60.0 / 3.5
+
+
+def build(platform: str):
+    from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
+    from cyclediffusion_tpu.ops import schedule
+    from cyclediffusion_tpu.samplers import ddim_decode
+
+    if platform == "cpu":
+        cfg = GDUNetConfig(
+            in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+            attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
+            use_spatial_transformer=True, transformer_depth=1, context_dim=64,
+            legacy=False,
+        )
+        latent, ctx_dim, steps, config_name = 16, 64, 10, "tiny-cpu-smoke"
+    else:
+        cfg = GDUNetConfig.sd_v1()
+        latent, ctx_dim, steps, config_name = 64, 768, 50, "sd512-50step"
+
+    model = GDUNet(cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, latent, latent, 4), jnp.bfloat16)
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((2, 77, ctx_dim), jnp.bfloat16)
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    params = jax.jit(lambda k: model.init(k, x2, t2, ctx))(key)
+
+    betas = schedule.make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    sched = schedule.DDIMSchedule.create(betas, steps, eta=0.1)
+
+    def chain(params, x_T, eps, ctx, key):
+        def model_fn(xx, tt):
+            x_in = jnp.concatenate([xx, xx], axis=0).astype(jnp.bfloat16)
+            t_in = jnp.concatenate([tt, tt], axis=0)
+            out = model.apply(params, x_in, t_in, ctx)
+            e_uc, e_c = jnp.split(out.astype(jnp.float32), 2, axis=0)
+            return e_uc + 5.0 * (e_c - e_uc)
+
+        return ddim_decode(model_fn, sched, x_T, eps, key)
+
+    chain_jit = jax.jit(chain)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, latent, latent, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(2), (steps, 1, latent, latent, 4))
+    ctx_r = jax.random.normal(jax.random.PRNGKey(3), (2, 77, ctx_dim),
+                              jnp.bfloat16)
+    return chain_jit, params, x_T, eps, ctx_r, steps, config_name
+
+
+def main():
+    platform = jax.default_backend()
+    chain, params, x_T, eps, ctx, steps, config_name = build(platform)
+    key = jax.random.PRNGKey(4)
+
+    # compile + warmup
+    chain(params, x_T, eps, ctx, key).block_until_ready()
+
+    reps = 3 if platform == "cpu" else 5
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        chain(params, x_T, eps, ctx, jax.random.fold_in(key, i)
+              ).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    per_image = times[len(times) // 2]
+    per_step_ms = per_image / steps * 1000.0
+    images_per_min = 60.0 / per_image
+
+    print(json.dumps({
+        "metric": "SD-512 50-step translated images/min/chip; per-step UNet latency p50",
+        "value": round(images_per_min, 3),
+        "unit": "images/min/chip",
+        "vs_baseline": round(images_per_min / A100_IMAGES_PER_MIN, 3),
+        "extra": {
+            "config": config_name,
+            "platform": platform,
+            "per_image_s_p50": round(per_image, 4),
+            "per_unet_step_ms_p50": round(per_step_ms, 3),
+            "steps": steps,
+            "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Force CPU even when the session env points JAX at a TPU ('axon'): tests
 # must be hardware-independent, and TPU default matmul precision (bf16
-# passes) breaks fp32 parity tolerances.
+# passes) breaks fp32 parity tolerances.  NOTE: this image's sitecustomize
+# sets jax_platforms="axon,cpu" programmatically at interpreter start, so the
+# env var alone is NOT enough — the config must be updated after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -23,6 +25,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
