@@ -127,21 +127,14 @@ def multi_head_attention(
     q: (B, Tq, H*D); k, v: (B, Tk, H*D).  Softmax in fp32 with the
     guided-diffusion pre-scaling (q,k each scaled by ch^-1/4 for fp16/bf16
     stability, ``improved_ddpm/unet.py:344-350``).  Returns (B, Tq, H*D).
+
+    On TPU, long sequences route to the Pallas flash-attention kernel
+    (``ops/flash_attention.py``) — the hot path for the 4096-token UNet
+    self-attention; short/cross attention stays on the fused-einsum path.
     """
-    b, tq, width = q.shape
-    tk = k.shape[1]
-    d = width // num_heads
-    qh = q.reshape(b, tq, num_heads, d)
-    kh = k.reshape(b, tk, num_heads, d)
-    vh = v.reshape(b, tk, num_heads, d)
-    scale = 1.0 / math.sqrt(math.sqrt(d))
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", qh * scale, kh * scale,
-        preferred_element_type=jnp.float32,
-    )
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
-    return out.reshape(b, tq, width)
+    from cyclediffusion_tpu.ops.flash_attention import multi_head_attention_fused
+
+    return multi_head_attention_fused(q, k, v, num_heads)
 
 
 class SpatialSelfAttention(nn.Module):

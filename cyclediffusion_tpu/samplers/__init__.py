@@ -10,11 +10,13 @@ round-trips between steps.
 
 from cyclediffusion_tpu.samplers.ddim import (  # noqa: F401
     ddim_decode,
+    ddim_invert,
     ddim_sample,
     ddim_refine,
     dpm_encode,
     num_recovered_eps,
 )
+from cyclediffusion_tpu.samplers.guided import energy_guided_decode  # noqa: F401
 from cyclediffusion_tpu.samplers.pixel import (  # noqa: F401
     pixel_encode,
     pixel_generate,

@@ -190,6 +190,42 @@ def ddim_sample(
     )
 
 
+def ddim_invert(
+    model_fn: EpsModel,
+    sched: DDIMSchedule,
+    x0: jnp.ndarray,
+):
+    """Deterministic DDIM inversion: walk the grid upward at eta=0.
+
+    Capability parity with the legacy ``LatentDiffWrapper`` encode path
+    (``latentdiff_wrapper.py:95-122`` calls ``ddim.sample_forward``, a method
+    absent from the vendored sampler — dead code in the reference; the
+    standard inversion recurrence is implemented here).  Returns x_T.
+    """
+    # ascending index walk: x_{t+1} = sqrt(a_next) x0_hat + sqrt(1-a_next) e_t
+    idx = np.arange(sched.num_steps)
+    tables = _StepTables(
+        t=sched.timesteps.astype(jnp.int32),
+        a_t=sched.alphas,
+        a_prev=sched.alphas_prev,
+        sigma=sched.sigmas * 0.0,
+        s1ma=sched.sqrt_one_minus_alphas,
+        index_is_zero=jnp.asarray(idx == 0),
+    )
+    bsz = x0.shape[0]
+
+    def body(x, tb):
+        t_vec = jnp.full((bsz,), tb.t, dtype=jnp.int32)
+        e_t = model_fn(x, t_vec)
+        # invert the eta=0 step: predict x0 at a_prev, move to a_t
+        x0_hat = (x - jnp.sqrt(1.0 - tb.a_prev) * e_t) / jnp.sqrt(tb.a_prev)
+        x_next = jnp.sqrt(tb.a_t) * x0_hat + tb.s1ma * e_t
+        return x_next, None
+
+    x_T, _ = jax.lax.scan(body, x0, tables)
+    return x_T
+
+
 def ddim_refine(
     model_fn: EpsModel,
     sched: DDIMSchedule,

@@ -1,0 +1,128 @@
+"""Tests for deterministic inversion, energy-guided decoding, Gumbel helpers,
+the CLIP energy builder, and phase counters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclediffusion_tpu.ops import schedule
+from cyclediffusion_tpu.samplers import (
+    ddim_decode,
+    ddim_invert,
+    energy_guided_decode,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def fake_model(x, t_vec):
+    t = t_vec.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    return 0.1 * x * jnp.cos(t / 100.0)
+
+
+def _sched(S=10, eta=0.0):
+    betas = schedule.make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    return schedule.DDIMSchedule.create(betas, S, eta)
+
+
+def test_ddim_invert_roundtrip():
+    # invert (eta=0) then decode (eta=0) should approximately reconstruct
+    sched = _sched(S=20, eta=0.0)
+    x0 = 0.1 * jax.random.normal(KEY, (1, 8, 8, 3))
+    xT = ddim_invert(fake_model, sched, x0)
+    assert bool(jnp.isfinite(xT).all())
+    rec = ddim_decode(fake_model, sched, xT, None, KEY)
+    err = float(jnp.abs(rec - x0).max())
+    assert err < 0.05, err  # first-order inversion error
+
+
+def test_energy_guided_decode_moves_toward_energy_min():
+    sched = _sched(S=10, eta=0.1)
+    xT = jax.random.normal(KEY, (1, 8, 8, 3))
+    target = jnp.full((1, 8, 8, 3), 0.7)
+
+    def energy(x_t, pred_x0, t):
+        return jnp.sum((pred_x0 - target) ** 2)
+
+    k = jax.random.PRNGKey(1)
+    plain = ddim_decode(fake_model, sched, xT, None, k)
+    guided = energy_guided_decode(
+        fake_model, sched, xT, None, k, energy, guidance_weight=0.5
+    )
+    d_plain = float(jnp.mean((plain - target) ** 2))
+    d_guided = float(jnp.mean((guided - target) ** 2))
+    assert d_guided < d_plain, (d_guided, d_plain)
+
+    # weight 0 == plain decode exactly
+    zero = energy_guided_decode(
+        fake_model, sched, xT, None, k, energy, guidance_weight=0.0
+    )
+    np.testing.assert_allclose(np.asarray(zero), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_clip_energy_fn_differentiable():
+    from cyclediffusion_tpu.energy.clean_clip import CLIPScorer
+    from cyclediffusion_tpu.energy.clip_energy import clip_energy_fn
+    from cyclediffusion_tpu.models.clip import CLIPConfig
+    from cyclediffusion_tpu.pipelines.latent import (
+        LatentCoreSpec,
+        LatentDiffusionCore,
+    )
+
+    core = LatentDiffusionCore.random_init(
+        LatentCoreSpec.tiny(cond_kind=None), KEY
+    )
+    cfg = CLIPConfig(embed_dim=16, image_resolution=32, vision_width=32,
+                     vision_layers=1, vision_heads=2, patch_size=8,
+                     vocab_size=96, context_length=16, text_width=32,
+                     text_layers=1, text_heads=2)
+    scorer = CLIPScorer.random_init(jax.random.PRNGKey(1), cfg)
+    ids = jnp.zeros((1, 16), jnp.int32).at[0, 0].set(5).at[0, 1].set(95)
+    text_feat = scorer.embed_text(ids)
+    efn = clip_energy_fn(core, scorer, text_feat, weight_prior=0.1)
+
+    x_t = jax.random.normal(KEY, (1, 8, 8, 4))
+    pred_x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    e = efn(x_t, pred_x0, jnp.zeros((1,), jnp.int32))
+    assert e.shape == () and bool(jnp.isfinite(e))
+    g = jax.grad(lambda p: efn(x_t, p, jnp.zeros((1,), jnp.int32)))(pred_x0)
+    assert g.shape == pred_x0.shape
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_gumbel_helpers():
+    from cyclediffusion_tpu.ops.gumbel import (
+        gumbel_max_sample,
+        gumbel_with_maximum,
+        sample_gumbel,
+    )
+
+    g = sample_gumbel(KEY, (1000,))
+    # Gumbel(0,1) mean is the Euler-Mascheroni constant ~0.577
+    assert abs(float(g.mean()) - 0.577) < 0.15
+
+    logits = jnp.asarray([[0.0, 3.0, -1.0, 0.5]])
+    idx = gumbel_max_sample(KEY, logits)
+    assert idx.shape == (1,)
+
+    target = jnp.asarray([2])
+    gs = gumbel_with_maximum(KEY, logits, target)
+    assert int(jnp.argmax(gs, axis=-1)[0]) == 2
+
+
+def test_phase_counters():
+    from cyclediffusion_tpu.runtime.profiling import PhaseCounters
+
+    c = PhaseCounters()
+    with c.phase("encode", units=10):
+        pass
+    s = c.summary()
+    assert "encode_s" in s and "encode_units_per_s" in s
+
+
+def test_misc_utils():
+    from cyclediffusion_tpu.utils import MAX_SAMPLE_SIZE, requires_grad
+
+    assert MAX_SAMPLE_SIZE == 4096
+    requires_grad(None, False)  # no-op
