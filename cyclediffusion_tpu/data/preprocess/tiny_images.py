@@ -17,6 +17,7 @@ class Preprocessor(PreprocessorBase):
 
     def build_dev(self):
         res = self.resolution
+        count = getattr(self.args.preprocess, "count", None) or self.count
 
         def getter(data):
             rng = np.random.RandomState(1000 + int(data["sample_id"]))
@@ -28,6 +29,6 @@ class Preprocessor(PreprocessorBase):
 
         items = [
             {"sample_id": sample_id(idx), "model_kwargs": ["sample_id"]}
-            for idx in range(self.count)
+            for idx in range(count)
         ]
         return ListDataset(items, getter)

@@ -122,7 +122,37 @@ class Driver:
 
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
+        # local data-parallel mesh: eval batches shard over all local devices
+        # (computation follows data through the pipelines' jitted scans)
+        self.mesh = None
+        if jax.local_device_count() > 1:
+            from cyclediffusion_tpu.parallel import data_mesh
+
+            self.mesh = data_mesh(jax.local_devices())
+            logger.info("data-parallel mesh over %d local devices",
+                        jax.local_device_count())
         os.makedirs(args.output_dir, exist_ok=True)
+
+    def _shard_batch(self, batch: dict) -> dict:
+        """device_put array batch entries with batch-axis sharding when the
+        batch divides the mesh; non-arrays and ragged batches pass through."""
+        if self.mesh is None:
+            return batch
+        import jax
+
+        from cyclediffusion_tpu.parallel import batch_sharding
+
+        n_dev = self.mesh.devices.size
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 \
+                    and v.shape[0] % n_dev == 0 and v.dtype != object:
+                out[k] = jax.device_put(
+                    v, batch_sharding(self.mesh, v.ndim)
+                )
+            else:
+                out[k] = v
+        return out
 
     # ---- logging / metrics ------------------------------------------------ #
 
@@ -281,6 +311,7 @@ class Driver:
         originals, translated, losses_acc = [], [], []
         losses_dict: Dict[str, list] = {}
         for step, batch in enumerate(loader):
+            batch = self._shard_batch(batch)
             (orig, img), weighted_loss, losses = self.model.forward(**batch)
             originals.append(np.asarray(orig))
             translated.append(np.asarray(img))

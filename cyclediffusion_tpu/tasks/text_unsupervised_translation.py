@@ -26,7 +26,8 @@ class TextUnsupervisedTranslation:
         self.resolution = self.gan_wrapper.resolution
 
     def forward(self, sample_id, original_image, encode_text, decode_text):
-        original_image = jnp.asarray(np.stack(list(original_image)))
+        if not isinstance(original_image, jax.Array):
+            original_image = jnp.asarray(np.stack(list(original_image)))
         sample_ids = np.asarray(sample_id).reshape(-1)
         key = jax.random.fold_in(self.base_key, int(sample_ids[0]))
         k_enc, k_dec = jax.random.split(key)

@@ -33,7 +33,8 @@ class UnsupervisedTranslation:
             raise NotImplementedError(
                 "class-conditional translation is plumbed but not implemented"
             )
-        original_image = jnp.asarray(np.stack(list(original_image)))
+        if not isinstance(original_image, jax.Array):
+            original_image = jnp.asarray(np.stack(list(original_image)))
         sample_ids = np.asarray(sample_id).reshape(-1)
         key = jax.random.fold_in(self.base_key, int(sample_ids[0]))
         k_enc, k_dec = jax.random.split(key)

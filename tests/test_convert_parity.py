@@ -14,8 +14,10 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-sys.path.insert(0, "/root/reference/model/lib/ddpm_ddim")
-sys.path.insert(0, "/root/reference/model/lib/stable_diffusion")
+# appended (not inserted) so the reference's top-level modules (e.g. its
+# training `main.py`) never shadow this repo's
+sys.path.append("/root/reference/model/lib/ddpm_ddim")
+sys.path.append("/root/reference/model/lib/stable_diffusion")
 
 # the reference lazily imports omegaconf (not installed here) inside
 # openaimodel's constructor; a ListConfig stub satisfies the type check

