@@ -59,9 +59,8 @@ class TestUnconditionalLatent:
         assert z.shape == (1, pipe.latent_dim)
         out = pipe.generate(z, jax.random.PRNGKey(3))
 
-        # independent expectation: x0 latent -> decode_first_stage
-        x0 = pipe._x0_from_test(img, k) if hasattr(pipe, "_x0_from_test") else None
-        # recompute x0 with the same keys the pipeline used
+        # independent expectation: recompute x0 with the same keys the
+        # pipeline used, then decode_first_stage directly
         k_vae, _ = jax.random.split(k)
         spec = uncond_core.spec
         noise = jax.random.normal(
