@@ -384,10 +384,34 @@ class Driver:
 
     # ---- training --------------------------------------------------------- #
 
+    def _build_optimizer(self, params):
+        """Optimizer build (parity :204-245): AdamW (default) or Adafactor,
+        excluding frozen pipeline params — in this framework the pipelines
+        hold their params outside the trainable tree by construction."""
+        import optax
+
+        lr = float(getattr(self.args, "learning_rate", 5e-5))
+        wd = float(getattr(self.args, "weight_decay", 0.0))
+        clip = float(getattr(self.args, "max_grad_norm", 1.0))
+        name = getattr(self.args, "optim", "adamw")
+        if name == "adafactor":
+            base = optax.adafactor(learning_rate=lr)
+        else:
+            base = optax.adamw(learning_rate=lr, weight_decay=wd)
+        tx = optax.chain(optax.clip_by_global_norm(clip), base)
+        return tx, tx.init(params)
+
     def train(self, resume_from_checkpoint: Optional[str] = None):
-        """Parity with the reference loop (:902-1015) for its actual use:
-        every experiment runs ``num_train_epochs 0`` and zero trainable
-        params, so the loop logs, optionally checkpoints, and returns."""
+        """Training loop with grad accumulation + clipping (parity :902-1015).
+
+        The reference's experiments all run ``num_train_epochs 0`` with
+        zero-placeholder losses; the loop below is functional for any model
+        exposing ``trainable_params`` and
+        ``loss_fn(params, batch, key) -> loss`` (and degrades to the same
+        logged no-op otherwise).
+        """
+        import jax
+
         if resume_from_checkpoint:
             self.load_model(resume_from_checkpoint)
             state_path = os.path.join(resume_from_checkpoint,
@@ -397,19 +421,71 @@ class Driver:
 
         epochs = int(getattr(self.args, "num_train_epochs", 0))
         n_train = len(self.train_dataset) if self.train_dataset else 0
+        trainable = getattr(self.model, "trainable_params", None)
+        loss_fn = getattr(self.model, "loss_fn", None)
         start = time.time()
-        if epochs <= 0 or n_train == 0:
+        if epochs <= 0 or n_train == 0 or trainable is None or loss_fn is None:
             logger.info(
-                "No training to do (num_train_epochs=%d, train examples=%d) — "
-                "matching the reference's inference-only usage.",
-                epochs, n_train,
+                "No training to do (num_train_epochs=%d, train examples=%d, "
+                "trainable=%s) — matching the reference's inference-only "
+                "usage.", epochs, n_train, trainable is not None,
             )
             metrics = speed_metrics("train", start, num_samples=0, num_steps=0)
             self.log(dict(metrics))
             return metrics
 
-        raise NotImplementedError(
-            "The reference framework defines no trainable task (all losses "
-            "are zero placeholders, model/text_unsupervised_translation.py:37-38); "
-            "gradient training is intentionally not implemented."
-        )
+        batch_size = int(getattr(self.args, "per_device_train_batch_size", 1))
+        accum = int(getattr(self.args, "gradient_accumulation_steps", 1))
+        logging_steps = int(getattr(self.args, "logging_steps", 10))
+        save_steps = int(getattr(self.args, "save_steps", 0))
+
+        params = trainable
+        tx, opt_state = self._build_optimizer(params)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+        import numpy as _np
+
+        rng = _np.random.RandomState(int(getattr(self.args, "seed", 0)))
+        key = jax.random.PRNGKey(int(getattr(self.args, "seed", 0)))
+        steps = 0
+        import optax
+
+        accum_grads = None
+        for epoch in range(epochs):
+            order = rng.permutation(n_train)
+            shard = order[self.process_index::self.process_count]
+            for i in range(0, len(shard) - batch_size + 1, batch_size):
+                items = [self.train_dataset[int(j)]
+                         for j in shard[i:i + batch_size]]
+                batch = {
+                    k: (np.stack([it[k] for it in items])
+                        if isinstance(items[0][k], (np.ndarray, np.generic))
+                        else [it[k] for it in items])
+                    for k in items[0]
+                }
+                key, sub = jax.random.split(key)
+                loss, grads = grad_fn(params, batch, sub)
+                accum_grads = grads if accum_grads is None else jax.tree.map(
+                    lambda a, b: a + b, accum_grads, grads
+                )
+                if (i // batch_size + 1) % accum == 0:
+                    mean_grads = jax.tree.map(lambda g: g / accum, accum_grads)
+                    updates, opt_state = tx.update(mean_grads, opt_state,
+                                                   params)
+                    params = optax.apply_updates(params, updates)
+                    accum_grads = None
+                    steps += 1
+                    self.state.global_step = steps
+                    if logging_steps and steps % logging_steps == 0:
+                        self.log({"loss": float(loss), "epoch": epoch})
+                    if save_steps and steps % save_steps == 0:
+                        self.model.trainable_params = params
+                        self._save_checkpoint()
+            self.state.epoch = float(epoch + 1)
+
+        self.model.trainable_params = params
+        metrics = speed_metrics("train", start, num_samples=n_train * epochs,
+                                num_steps=steps)
+        metrics["train_loss"] = float(loss)
+        self.log(dict(metrics))
+        return metrics

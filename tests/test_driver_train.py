@@ -1,0 +1,66 @@
+"""The Driver's training loop actually optimizes (toy regression model)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclediffusion_tpu.runtime.driver import Driver
+
+
+class _ToyModel:
+    """Linear regression y = w.x learnable through the Driver loop."""
+
+    def __init__(self):
+        self.trainable_params = {"w": jnp.zeros((3,))}
+        self.gan_wrapper = types.SimpleNamespace(params={"w": jnp.zeros((1,))})
+
+    @staticmethod
+    def loss_fn(params, batch, key):
+        pred = batch["x"] @ params["w"]
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+
+def _dataset(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    w_true = np.array([1.0, -2.0, 0.5], np.float32)
+    xs = rng.randn(n, 3).astype(np.float32)
+    ys = xs @ w_true
+    return [{"x": xs[i], "y": ys[i]} for i in range(n)], w_true
+
+
+class _Wrap:
+    def __init__(self, items):
+        self.items = items
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def __len__(self):
+        return len(self.items)
+
+
+def test_train_loop_reduces_loss(tmp_path):
+    items, w_true = _dataset()
+    model = _ToyModel()
+    args = types.SimpleNamespace(
+        output_dir=str(tmp_path), num_train_epochs=60, learning_rate=0.1,
+        per_device_train_batch_size=8, gradient_accumulation_steps=2,
+        logging_steps=0, save_steps=0, seed=0, max_grad_norm=1.0,
+        weight_decay=0.0, optim="adamw",
+    )
+    driver = Driver(args, model, train_dataset=_Wrap(items))
+    metrics = driver.train()
+    assert metrics["train_loss"] < 0.05, metrics
+    w = np.asarray(model.trainable_params["w"])
+    np.testing.assert_allclose(w, w_true, atol=0.2)
+
+
+def test_train_noop_without_trainables(tmp_path):
+    model = _ToyModel()
+    model.loss_fn = None  # simulate a model with no training objective
+    args = types.SimpleNamespace(output_dir=str(tmp_path), num_train_epochs=1)
+    driver = Driver(args, model, train_dataset=_Wrap([]))
+    metrics = driver.train()
+    assert "train_runtime" in metrics
