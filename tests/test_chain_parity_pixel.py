@@ -17,7 +17,11 @@ torch = pytest.importorskip("torch")
 
 sys.path.append("/root/reference")
 
-# torchvision is imported by the wrapper module for post-processing only
+# torchvision is imported by the wrapper module for post-processing only;
+# stub it with a real ModuleSpec so importlib.util.find_spec (used by
+# transformers' availability probing) keeps working
+import importlib.machinery
+
 _tv = types.ModuleType("torchvision")
 _tvt = types.ModuleType("torchvision.transforms")
 
@@ -30,6 +34,8 @@ class _Stub:
 _tvt.Compose = _Stub
 _tvt.Normalize = _Stub
 _tv.transforms = _tvt
+for _m in (_tv, _tvt):
+    _m.__spec__ = importlib.machinery.ModuleSpec(_m.__name__, loader=None)
 sys.modules.setdefault("torchvision", _tv)
 sys.modules.setdefault("torchvision.transforms", _tvt)
 
