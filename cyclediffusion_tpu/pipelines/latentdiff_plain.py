@@ -1,0 +1,76 @@
+"""Legacy deterministic-inversion latent pipeline (``LatentDiffWrapper``).
+
+Parity surface: ``model/gan_wrapper/latentdiff_wrapper.py:160-279`` — encode
+via deterministic DDIM inversion (eta=0), generate via plain DDIM sampling
+from the inverted x_T.  Note the reference's implementation calls
+``ddim.sample_forward``, a method that does not exist in its vendored sampler
+(dead code; the factory never dispatches this wrapper) — here the standard
+inversion recurrence (:func:`samplers.ddim_invert`) provides the capability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cyclediffusion_tpu.pipelines.latent import LatentDiffusionCore
+from cyclediffusion_tpu.samplers import ddim_decode, ddim_invert
+
+
+class LatentDiffPlainPipeline:
+    """encode(image01) -> z = flattened inverted x_T; __call__(z) -> image."""
+
+    def __init__(self, core: LatentDiffusionCore, *, custom_steps: int,
+                 enforce_class_input: Optional[bool] = None,
+                 unconditional_guidance_scale: Optional[float] = None):
+        if enforce_class_input:
+            raise NotImplementedError(
+                "class-conditional path plumbed but not implemented "
+                "(reference parity)"
+            )
+        self.core = core
+        self.custom_steps = custom_steps
+        self.sched = core.make_ddim_schedule(custom_steps, eta=0.0)
+        spec = core.spec
+        self.resolution = spec.resolution
+        self.latent_dim = spec.image_size**2 * spec.channels
+
+        self._encode_jit = jax.jit(self._encode_impl)
+        self._generate_jit = jax.jit(self._generate_impl)
+
+    def _model_fn(self, x, t):
+        return self.core.apply_model(x, t, None)
+
+    def _encode_impl(self, image01, key):
+        spec = self.core.spec
+        image = (image01 - 0.5) * 2.0
+        if spec.fs_kind == "kl":
+            noise = jax.random.normal(
+                key, (image.shape[0], spec.image_size, spec.image_size,
+                      spec.embed_dim),
+            )
+            x0 = self.core.encode_first_stage(image, noise)
+        else:
+            x0 = self.core.encode_first_stage(image)
+        xT = ddim_invert(self._model_fn, self.sched, x0)
+        return xT.reshape(image.shape[0], -1)
+
+    def _generate_impl(self, z, key):
+        spec = self.core.spec
+        xT = z.reshape(-1, spec.image_size, spec.image_size, spec.channels)
+        sample = ddim_decode(self._model_fn, self.sched, xT, None, key)
+        return self.core.decode_first_stage(sample)
+
+    def encode(self, image01, key, class_label=None):
+        assert image01.shape[1] == image01.shape[2] == self.resolution
+        z = self._encode_jit(image01, key)
+        assert z.shape[1] == self.latent_dim
+        return z
+
+    def generate(self, z, key, class_label=None):
+        return self._generate_jit(z, key)
+
+    def __call__(self, z, key, class_label=None):
+        return (self.generate(z, key) + 1.0) / 2.0

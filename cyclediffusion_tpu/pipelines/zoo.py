@@ -109,6 +109,41 @@ def tiny_pixel_spec(resolution: int = 16, kind: str = "improved") -> PixelModelS
     )
 
 
+def pixel_spec_from_yml(path: str, name: Optional[str] = None) -> PixelModelSpec:
+    """Build a spec from a user-provided SDEdit/DiffusionCLIP-style yml
+    (the files the reference reads at ``ddpm_ddim_wrapper.py:96-98``)."""
+    import yaml
+
+    cfg = yaml.safe_load(open(path))
+    data, model, diff = cfg["data"], cfg["model"], cfg["diffusion"]
+    dataset = data["dataset"]
+    if dataset in ("CelebA_HQ", "LSUN"):
+        kind = "compvis"
+        unet = DDPMUNetConfig(
+            ch=model["ch"], out_ch=model["out_ch"],
+            ch_mult=tuple(model["ch_mult"]),
+            num_res_blocks=model["num_res_blocks"],
+            attn_resolutions=tuple(model["attn_resolutions"]),
+            dropout=model.get("dropout", 0.0),
+            in_channels=model["in_channels"],
+            resolution=data["image_size"],
+            resamp_with_conv=model.get("resamp_with_conv", True),
+        )
+    elif dataset in ("FFHQ", "AFHQ"):
+        kind = "improved"
+        unet = GDUNetConfig.afhq256()
+    else:
+        raise NotImplementedError(dataset)
+    return PixelModelSpec(
+        name=name or dataset.lower(), kind=kind,
+        resolution=data["image_size"], channels=data["channels"],
+        var_type=model.get("var_type", "fixedsmall"),
+        beta_start=diff["beta_start"], beta_end=diff["beta_end"],
+        num_diffusion_timesteps=diff["num_diffusion_timesteps"],
+        unet=unet,
+    )
+
+
 def build_pixel_model(spec: PixelModelSpec, dtype=jnp.float32):
     """Instantiate the Flax module for a spec."""
     if spec.kind == "compvis":

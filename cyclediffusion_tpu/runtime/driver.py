@@ -394,10 +394,26 @@ class Driver:
         wd = float(getattr(self.args, "weight_decay", 0.0))
         clip = float(getattr(self.args, "max_grad_norm", 1.0))
         name = getattr(self.args, "optim", "adamw")
-        if name == "adafactor":
-            base = optax.adafactor(learning_rate=lr)
+        # LR schedule (parity :190-202): linear decay with optional warmup
+        warmup = int(getattr(self.args, "warmup_steps", 0))
+        total = int(getattr(self.args, "max_steps", 0))
+        sched_name = getattr(self.args, "lr_scheduler_type", "constant")
+        if sched_name == "linear" and total > 0:
+            lr_sched = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, lr, max(warmup, 1)),
+                    optax.linear_schedule(lr, 0.0, max(total - warmup, 1)),
+                ],
+                boundaries=[max(warmup, 1)],
+            )
+        elif warmup > 0:
+            lr_sched = optax.linear_schedule(0.0, lr, warmup)
         else:
-            base = optax.adamw(learning_rate=lr, weight_decay=wd)
+            lr_sched = lr
+        if name == "adafactor":
+            base = optax.adafactor(learning_rate=lr_sched)
+        else:
+            base = optax.adamw(learning_rate=lr_sched, weight_decay=wd)
         tx = optax.chain(optax.clip_by_global_norm(clip), base)
         return tx, tx.init(params)
 
@@ -484,6 +500,13 @@ class Driver:
             self.state.epoch = float(epoch + 1)
 
         self.model.trainable_params = params
+        # load-best-at-end (parity :991-1009)
+        if getattr(self.args, "load_best_model_at_end", False) \
+                and self.state.best_model_checkpoint:
+            logger.info("Loading best model from %s (score: %s)",
+                        self.state.best_model_checkpoint,
+                        self.state.best_metric)
+            self.load_model(self.state.best_model_checkpoint)
         metrics = speed_metrics("train", start, num_samples=n_train * epochs,
                                 num_steps=steps)
         metrics["train_loss"] = float(loss)

@@ -226,6 +226,39 @@ def ddim_invert(
     return x_T
 
 
+def stochastic_encode(
+    sched: DDIMSchedule,
+    x0: jnp.ndarray,
+    t_index: int,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fast stochastic encode: x_t ~ q(x_t | x0) at DDIM index ``t_index``.
+
+    Parity: SD copy's ``stochastic_encode`` (ddim.py:648-661) — no exact
+    reconstruction, used for SDEdit-style partial editing.
+    """
+    if noise is None:
+        assert key is not None
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+    return steps.q_sample(x0, sched.alphas[t_index], noise)
+
+
+def stochastic_decode(
+    model_fn: EpsModel,
+    sched: DDIMSchedule,
+    x_t: jnp.ndarray,
+    t_index: int,
+    key: Optional[jax.Array] = None,
+):
+    """Decode from DDIM index ``t_index`` down to 0 with fresh noise.
+
+    Parity: SD copy's ``decode`` (ddim.py:663-681).
+    """
+    skip = sched.num_steps - (t_index + 1)
+    return ddim_decode(model_fn, sched, x_t, None, key, skip_steps=skip)
+
+
 def ddim_refine(
     model_fn: EpsModel,
     sched: DDIMSchedule,
