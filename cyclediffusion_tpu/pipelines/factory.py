@@ -171,6 +171,7 @@ def _build_text(kwargs, kind: str) -> StochasticTextPipeline:
             "decoder_unconditional_guidance_scales"
         ),
         n_trials=kwargs.pop("n_trials"),
+        candidate_chunk=kwargs.pop("candidate_chunk", None),
     )
     assert not kwargs, f"unused gan kwargs: {kwargs}"
     if model_type.startswith("tiny"):

@@ -68,6 +68,7 @@ class StochasticTextPipeline:
         encoder_unconditional_guidance_scales: Sequence[float],
         decoder_unconditional_guidance_scales: Sequence[float],
         n_trials: int,
+        candidate_chunk: Optional[int] = None,
     ):
         assert eta > 0
         assert core.spec.cond_kind is not None
@@ -81,6 +82,10 @@ class StochasticTextPipeline:
         self.enc_scales = list(encoder_unconditional_guidance_scales)
         self.dec_scales = list(decoder_unconditional_guidance_scales)
         self.n_trials = n_trials
+        # cap on candidates processed per vmapped launch: the effective UNet
+        # batch is 2 * batch * chunk (CFG dual batch), which at the reference
+        # SD config (15 trials x 16 images) would not fit HBM unchunked
+        self.candidate_chunk = candidate_chunk
 
         self.sched = core.make_ddim_schedule(custom_steps, eta)
         self.resolution = core.spec.resolution
@@ -167,16 +172,27 @@ class StochasticTextPipeline:
         ]
         keys = jax.random.split(k_chains, len(combos))
 
-        # group by skip -> one vmapped call per distinct skip
+        # group by skip -> one vmapped call per distinct skip, in chunks
         results = {}
         for skip in sorted(set(self.skip_steps)):
             idxs = [i for i, (_, _, sk) in enumerate(combos) if sk == skip]
-            scales = jnp.asarray([combos[i][1] for i in idxs], jnp.float32)
-            xT, eps = self._encode_skip[skip](
-                x0, c_ctx, uc_ctx, scales, keys[jnp.asarray(idxs)]
-            )
-            for j, i in enumerate(idxs):
-                results[i] = (xT[j], eps[j])
+            chunk = self.candidate_chunk or len(idxs)
+            for c0 in range(0, len(idxs), chunk):
+                sub = idxs[c0 : c0 + chunk]
+                if len(sub) < chunk and c0 > 0:
+                    # keep one compiled shape per skip: pad the tail chunk
+                    pad = chunk - len(sub)
+                    sub_padded = sub + sub[-1:] * pad
+                else:
+                    sub_padded = sub
+                scales = jnp.asarray(
+                    [combos[i][1] for i in sub_padded], jnp.float32
+                )
+                xT, eps = self._encode_skip[skip](
+                    x0, c_ctx, uc_ctx, scales, keys[jnp.asarray(sub_padded)]
+                )
+                for j, i in enumerate(sub):
+                    results[i] = (xT[j], eps[j])
 
         z_ensemble = []
         for i in range(len(combos)):
@@ -214,26 +230,32 @@ class StochasticTextPipeline:
             ]
             if not idxs:
                 continue
-            xTs, epss, scales, kidx, flat_pos = [], [], [], [], []
+            work = []  # (xT, eps, scale, flat position)
             for i in idxs:
                 xT, eps = self._unflatten(z_ensemble[i], skip)
                 for d, ds in enumerate(self.dec_scales):
-                    xTs.append(xT)
-                    epss.append(eps)
-                    scales.append(ds)
-                    pos = i * len(self.dec_scales) + d
-                    flat_pos.append(pos)
-                    kidx.append(pos)
-            samples = self._decode_skip[skip](
-                jnp.stack(xTs), jnp.stack(epss), c_ctx, uc_ctx,
-                jnp.asarray(scales, jnp.float32), keys[jnp.asarray(kidx)],
-            )
-            decoded = self._decode_jit(
-                samples.reshape((-1,) + samples.shape[2:])
-            )
-            decoded = decoded.reshape(samples.shape[:2] + decoded.shape[1:])
-            for j, pos in enumerate(flat_pos):
-                imgs[pos] = (decoded[j] + 1.0) / 2.0
+                    work.append((xT, eps, ds, i * len(self.dec_scales) + d))
+            chunk = self.candidate_chunk or len(work)
+            for c0 in range(0, len(work), chunk):
+                sub = work[c0 : c0 + chunk]
+                if len(sub) < chunk and c0 > 0:
+                    sub = sub + sub[-1:] * (chunk - len(sub))
+                n_real = len(work[c0 : c0 + chunk])
+                samples = self._decode_skip[skip](
+                    jnp.stack([w[0] for w in sub]),
+                    jnp.stack([w[1] for w in sub]),
+                    c_ctx, uc_ctx,
+                    jnp.asarray([w[2] for w in sub], jnp.float32),
+                    keys[jnp.asarray([w[3] for w in sub])],
+                )
+                decoded = self._decode_jit(
+                    samples.reshape((-1,) + samples.shape[2:])
+                )
+                decoded = decoded.reshape(
+                    samples.shape[:2] + decoded.shape[1:]
+                )
+                for j in range(n_real):
+                    imgs[sub[j][3]] = (decoded[j] + 1.0) / 2.0
         return [im for im in imgs if im is not None]
 
     def forward(self, z_ensemble, original_img01, encode_text, decode_text,
