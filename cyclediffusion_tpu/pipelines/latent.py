@@ -269,20 +269,28 @@ class LatentDiffusionCore:
         return core
 
     # ---- reference core surface ---------------------------------------- #
+    #
+    # All methods take an optional explicit ``params`` tree.  Jitted callers
+    # MUST pass it as a traced argument: relying on the ``self.params``
+    # default inside jit bakes the full weight set into the compiled program
+    # as constants (hundreds of MB for SD — and it overflows this image's
+    # remote-compile transport).
 
-    def apply_model(self, x, t, context=None):
-        return self.unet.apply(self.params["unet"], x, t, context)
+    def apply_model(self, x, t, context=None, params=None):
+        params = self.params if params is None else params
+        return self.unet.apply(params["unet"], x, t, context)
 
-    def get_learned_conditioning(self, token_ids):
+    def get_learned_conditioning(self, token_ids, params=None):
         assert self.cond_model is not None
-        return self.cond_model.apply(self.params["cond"],
-                                     jnp.asarray(token_ids))
+        params = self.params if params is None else params
+        return self.cond_model.apply(params["cond"], jnp.asarray(token_ids))
 
-    def encode_first_stage(self, image_m11, noise=None):
+    def encode_first_stage(self, image_m11, noise=None, params=None):
         """[-1,1] image -> x0 latent (KL: posterior sample x scale_factor)."""
+        params = self.params if params is None else params
         if self.spec.fs_kind == "kl":
             moments = self.first_stage.apply(
-                self.params["first_stage"], image_m11,
+                params["first_stage"], image_m11,
                 method=self.first_stage.encode_moments,
             )
             posterior = DiagonalGaussian(moments)
@@ -290,15 +298,16 @@ class LatentDiffusionCore:
             z = posterior.sample(noise)
         else:
             z = self.first_stage.apply(
-                self.params["first_stage"], image_m11,
+                params["first_stage"], image_m11,
                 method=self.first_stage.encode,
             )
         return z * self.spec.scale_factor
 
-    def decode_first_stage(self, z):
+    def decode_first_stage(self, z, params=None):
+        params = self.params if params is None else params
         z = z / self.spec.scale_factor
         return self.first_stage.apply(
-            self.params["first_stage"], z, method=self.first_stage.decode
+            params["first_stage"], z, method=self.first_stage.decode
         )
 
     def make_ddim_schedule(self, custom_steps: int, eta: float):
@@ -345,11 +354,9 @@ class LatentDiffStochasticPipeline:
         self._encode_jit = jax.jit(self._encode_impl)
         self._generate_jit = jax.jit(self._generate_impl)
 
-    def _model_fn(self, x, t):
-        return self.core.apply_model(x, t, None)
-
-    def _encode_impl(self, image01, key):
+    def _encode_impl(self, params, image01, key):
         spec = self.core.spec
+        model_fn = lambda x, t: self.core.apply_model(x, t, None, params)
         image = (image01 - 0.5) * 2.0
         k_vae, k_chain = jax.random.split(key)
         if spec.fs_kind == "kl":
@@ -358,43 +365,44 @@ class LatentDiffStochasticPipeline:
                 (image.shape[0], spec.image_size, spec.image_size,
                  spec.embed_dim),
             )
-            x0 = self.core.encode_first_stage(image, noise)
+            x0 = self.core.encode_first_stage(image, noise, params)
         else:
-            x0 = self.core.encode_first_stage(image)
+            x0 = self.core.encode_first_stage(image, params=params)
         xT, eps = dpm_encode(
-            self._model_fn, self.sched, x0, k_chain,
+            model_fn, self.sched, x0, k_chain,
             white_box_steps=self.white_box_steps,
         )
         b = x0.shape[0]
         z = jnp.concatenate([xT[None], eps], axis=0)
         return jnp.moveaxis(z, 0, 1).reshape(b, -1)
 
-    def _generate_impl(self, z, key):
+    def _generate_impl(self, params, z, key):
         spec = self.core.spec
+        model_fn = lambda x, t: self.core.apply_model(x, t, None, params)
         b = z.shape[0]
         z = z.reshape(b, self.white_box_steps, spec.image_size,
                       spec.image_size, spec.channels)
         xT = z[:, 0]
         eps = jnp.moveaxis(z[:, 1:], 1, 0)
         k_decode, k_refine = jax.random.split(key)
-        sample = ddim_decode(self._model_fn, self.sched, xT, eps, k_decode)
+        sample = ddim_decode(model_fn, self.sched, xT, eps, k_decode)
         if self.refine_steps > 0:
             sample = ddim_refine(
-                self._model_fn, self.sched, sample, k_refine,
+                model_fn, self.sched, sample, k_refine,
                 refine_steps=self.refine_steps,
             )
-        return self.core.decode_first_stage(sample)
+        return self.core.decode_first_stage(sample, params)
 
     # ---- public protocol ------------------------------------------------ #
 
     def encode(self, image01, key, class_label=None):
         assert image01.shape[1] == image01.shape[2] == self.resolution
-        z = self._encode_jit(image01, key)
+        z = self._encode_jit(self.core.params, image01, key)
         assert z.shape[1] == self.latent_dim
         return z
 
     def generate(self, z, key, class_label=None):
-        return self._generate_jit(z, key)
+        return self._generate_jit(self.core.params, z, key)
 
     def __call__(self, z, key, class_label=None):
         return (self.generate(z, key) + 1.0) / 2.0

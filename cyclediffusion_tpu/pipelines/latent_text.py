@@ -90,7 +90,12 @@ class StochasticTextPipeline:
         self.sched = core.make_ddim_schedule(custom_steps, eta)
         self.resolution = core.spec.resolution
 
-        self._cond_jit = jax.jit(core.get_learned_conditioning)
+        # params are always traced ARGUMENTS of the jits below — closing over
+        # them would bake the full SD weight set into each program as
+        # constants (see LatentDiffusionCore docstring)
+        self._cond_jit = jax.jit(
+            lambda p, ids: core.get_learned_conditioning(ids, params=p)
+        )
         self._x0_jit = jax.jit(self._compute_x0)
         # per-skip compiled encode/decode (few distinct skips -> few programs)
         self._encode_skip = {
@@ -101,20 +106,22 @@ class StochasticTextPipeline:
             s: jax.jit(functools.partial(self._decode_chains, skip=s))
             for s in sorted(set(self.skip_steps))
         }
-        self._decode_jit = jax.jit(self.core.decode_first_stage)
+        self._decode_jit = jax.jit(
+            lambda p, z: core.decode_first_stage(z, params=p)
+        )
 
     # ---- conditioning --------------------------------------------------- #
 
     def get_condition(self, texts) -> jnp.ndarray:
         """c context for texts; uc is the encoding of "" (reference :28-36)."""
-        return self._cond_jit(self.tokenizer(list(texts)))
+        return self._cond_jit(self.core.params, self.tokenizer(list(texts)))
 
     def uncond(self, batch: int) -> jnp.ndarray:
         return self.get_condition([""] * batch)
 
     # ---- first stage ----------------------------------------------------- #
 
-    def _compute_x0(self, image01, key):
+    def _compute_x0(self, params, image01, key):
         spec = self.core.spec
         image = (image01 - 0.5) * 2.0
         if spec.fs_kind == "kl":
@@ -123,19 +130,23 @@ class StochasticTextPipeline:
                 (image.shape[0], spec.image_size, spec.image_size,
                  spec.embed_dim),
             )
-            return self.core.encode_first_stage(image, noise)
-        return self.core.encode_first_stage(image)
+            return self.core.encode_first_stage(image, noise, params)
+        return self.core.encode_first_stage(image, params=params)
 
     # ---- chains ---------------------------------------------------------- #
 
-    def _encode_chains(self, x0, c_ctx, uc_ctx, scales, keys, *, skip):
+    def _apply_fn(self, params):
+        return lambda x, t, c: self.core.apply_model(x, t, c, params)
+
+    def _encode_chains(self, params, x0, c_ctx, uc_ctx, scales, keys, *, skip):
         """vmapped DPM-Encoder over K candidates at one skip value.
 
         scales: (K,), keys: (K,) -> (xT: (K,B,h,w,c), eps: (K,n,B,h,w,c)).
         """
+        apply = self._apply_fn(params)
 
         def one(scale, key):
-            fn = _guided_model_fn(self.core.apply_model, uc_ctx, c_ctx, scale)
+            fn = _guided_model_fn(apply, uc_ctx, c_ctx, scale)
             return dpm_encode(
                 fn, self.sched, x0, key,
                 white_box_steps=self.white_box_steps, skip_steps=skip,
@@ -143,11 +154,13 @@ class StochasticTextPipeline:
 
         return jax.vmap(one)(scales, keys)
 
-    def _decode_chains(self, xT, eps, c_ctx, uc_ctx, scales, keys, *, skip):
+    def _decode_chains(self, params, xT, eps, c_ctx, uc_ctx, scales, keys, *,
+                       skip):
         """vmapped replay over K candidates at one skip -> latent samples."""
+        apply = self._apply_fn(params)
 
         def one(xT_i, eps_i, scale, key):
-            fn = _guided_model_fn(self.core.apply_model, uc_ctx, c_ctx, scale)
+            fn = _guided_model_fn(apply, uc_ctx, c_ctx, scale)
             return ddim_decode(fn, self.sched, xT_i, eps_i, key,
                                skip_steps=skip)
 
@@ -160,7 +173,7 @@ class StochasticTextPipeline:
         assert image01.shape[1] == image01.shape[2] == self.resolution
         bsz = image01.shape[0]
         k_vae, k_chains = jax.random.split(jnp.asarray(key))
-        x0 = self._x0_jit(image01, k_vae)
+        x0 = self._x0_jit(self.core.params, image01, k_vae)
         c_ctx = self.get_condition(list(encode_text))
         uc_ctx = self.uncond(bsz)
 
@@ -189,7 +202,8 @@ class StochasticTextPipeline:
                     [combos[i][1] for i in sub_padded], jnp.float32
                 )
                 xT, eps = self._encode_skip[skip](
-                    x0, c_ctx, uc_ctx, scales, keys[jnp.asarray(sub_padded)]
+                    self.core.params, x0, c_ctx, uc_ctx, scales,
+                    keys[jnp.asarray(sub_padded)],
                 )
                 for j, i in enumerate(sub):
                     results[i] = (xT[j], eps[j])
@@ -242,6 +256,7 @@ class StochasticTextPipeline:
                     sub = sub + sub[-1:] * (chunk - len(sub))
                 n_real = len(work[c0 : c0 + chunk])
                 samples = self._decode_skip[skip](
+                    self.core.params,
                     jnp.stack([w[0] for w in sub]),
                     jnp.stack([w[1] for w in sub]),
                     c_ctx, uc_ctx,
@@ -249,7 +264,8 @@ class StochasticTextPipeline:
                     keys[jnp.asarray([w[3] for w in sub])],
                 )
                 decoded = self._decode_jit(
-                    samples.reshape((-1,) + samples.shape[2:])
+                    self.core.params,
+                    samples.reshape((-1,) + samples.shape[2:]),
                 )
                 decoded = decoded.reshape(
                     samples.shape[:2] + decoded.shape[1:]

@@ -40,37 +40,36 @@ class LatentDiffPlainPipeline:
         self._encode_jit = jax.jit(self._encode_impl)
         self._generate_jit = jax.jit(self._generate_impl)
 
-    def _model_fn(self, x, t):
-        return self.core.apply_model(x, t, None)
-
-    def _encode_impl(self, image01, key):
+    def _encode_impl(self, params, image01, key):
         spec = self.core.spec
+        model_fn = lambda x, t: self.core.apply_model(x, t, None, params)
         image = (image01 - 0.5) * 2.0
         if spec.fs_kind == "kl":
             noise = jax.random.normal(
                 key, (image.shape[0], spec.image_size, spec.image_size,
                       spec.embed_dim),
             )
-            x0 = self.core.encode_first_stage(image, noise)
+            x0 = self.core.encode_first_stage(image, noise, params)
         else:
-            x0 = self.core.encode_first_stage(image)
-        xT = ddim_invert(self._model_fn, self.sched, x0)
+            x0 = self.core.encode_first_stage(image, params=params)
+        xT = ddim_invert(model_fn, self.sched, x0)
         return xT.reshape(image.shape[0], -1)
 
-    def _generate_impl(self, z, key):
+    def _generate_impl(self, params, z, key):
         spec = self.core.spec
+        model_fn = lambda x, t: self.core.apply_model(x, t, None, params)
         xT = z.reshape(-1, spec.image_size, spec.image_size, spec.channels)
-        sample = ddim_decode(self._model_fn, self.sched, xT, None, key)
-        return self.core.decode_first_stage(sample)
+        sample = ddim_decode(model_fn, self.sched, xT, None, key)
+        return self.core.decode_first_stage(sample, params)
 
     def encode(self, image01, key, class_label=None):
         assert image01.shape[1] == image01.shape[2] == self.resolution
-        z = self._encode_jit(image01, key)
+        z = self._encode_jit(self.core.params, image01, key)
         assert z.shape[1] == self.latent_dim
         return z
 
     def generate(self, z, key, class_label=None):
-        return self._generate_jit(z, key)
+        return self._generate_jit(self.core.params, z, key)
 
     def __call__(self, z, key, class_label=None):
         return (self.generate(z, key) + 1.0) / 2.0
