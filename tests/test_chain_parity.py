@@ -102,8 +102,8 @@ def _nhwc(x):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("skip_steps", [0, 2])
-def test_reference_chain_golden_parity(skip_steps):
+@pytest.mark.parametrize("skip_steps,cfg_scale", [(0, 1.0), (2, 1.0), (0, 3.0)])
+def test_reference_chain_golden_parity(skip_steps, cfg_scale):
     from ldm.models.diffusion.ddim import DDIMSampler
 
     # the reference sampler force-moves buffers to CUDA (ddim.py:18-23);
@@ -129,6 +129,7 @@ def test_reference_chain_golden_parity(skip_steps):
 
     x0_t = torch.randn(*SHAPE)
     cond = torch.randn(1, 5, 16)
+    uncond = torch.randn(1, 5, 16) if cfg_scale != 1.0 else None
     white_box = S + 1
 
     # ---- reference encode with noise tape ----
@@ -137,7 +138,8 @@ def test_reference_chain_golden_parity(skip_steps):
         z_list = sampler._ddpm_ddim_encoding(
             cond, SHAPE, eta=ETA, white_box_steps=white_box,
             skip_steps=skip_steps, x0=x0_t,
-            unconditional_guidance_scale=1.0, unconditional_conditioning=None,
+            unconditional_guidance_scale=cfg_scale,
+            unconditional_conditioning=uncond,
         )
     ref_xT = z_list[0].numpy()
     ref_eps = [e.numpy() for e in z_list[1:]]
@@ -149,7 +151,8 @@ def test_reference_chain_golden_parity(skip_steps):
         ref_out, _ = sampler.ddim_sampling_with_eps(
             cond, SHAPE, eps_tensor, x_T=torch.tensor(ref_xT),
             skip_steps=skip_steps,
-            unconditional_guidance_scale=1.0, unconditional_conditioning=None,
+            unconditional_guidance_scale=cfg_scale,
+            unconditional_conditioning=uncond,
         )
     ref_out = ref_out.numpy()
 
@@ -166,8 +169,21 @@ def test_reference_chain_golden_parity(skip_steps):
     )
     ctx = jnp.asarray(cond.numpy())
 
-    def model_fn(x, t):
-        return our_unet.apply(params, x, t, ctx)
+    if cfg_scale == 1.0:
+        def model_fn(x, t):
+            return our_unet.apply(params, x, t, ctx)
+    else:
+        # our production CFG form (dual batch, traced scale)
+        uc_ctx = jnp.asarray(uncond.numpy())
+
+        def model_fn(x, t):
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            c_in = jnp.concatenate([uc_ctx, ctx], axis=0)
+            e_uc, e_c = jnp.split(
+                our_unet.apply(params, x_in, t_in, c_in), 2, axis=0
+            )
+            return e_uc + cfg_scale * (e_c - e_uc)
 
     sched = schedule.DDIMSchedule.create(betas, S, ETA)
     # tape order: draw 0 = x_T, then one posterior draw per step EXCEPT the

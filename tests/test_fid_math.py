@@ -1,0 +1,65 @@
+"""FID/KID statistics against closed forms."""
+
+import numpy as np
+
+from cyclediffusion_tpu.evaluation.fid import (
+    compute_fid_from_features,
+    compute_kid_from_features,
+    frechet_distance,
+)
+
+
+def test_frechet_distance_identical_is_zero():
+    rng = np.random.RandomState(0)
+    mu = rng.randn(8)
+    a = rng.randn(8, 8)
+    sigma = a @ a.T + np.eye(8)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_distance_mean_shift_closed_form():
+    # equal covariances: FID = ||mu1 - mu2||^2
+    rng = np.random.RandomState(1)
+    a = rng.randn(6, 6)
+    sigma = a @ a.T + np.eye(6)
+    mu1 = np.zeros(6)
+    mu2 = np.full(6, 2.0)
+    np.testing.assert_allclose(
+        frechet_distance(mu1, sigma, mu2, sigma), 4.0 * 6, rtol=1e-5
+    )
+
+
+def test_frechet_distance_isotropic_scaling_closed_form():
+    # mu equal, sigma1 = a^2 I, sigma2 = b^2 I: FID = d*(a-b)^2
+    d = 5
+    a, b = 1.0, 3.0
+    mu = np.zeros(d)
+    got = frechet_distance(mu, a**2 * np.eye(d), mu, b**2 * np.eye(d))
+    np.testing.assert_allclose(got, d * (a - b) ** 2, rtol=1e-5)
+
+
+def test_fid_from_features_same_distribution_small():
+    rng = np.random.RandomState(2)
+    f1 = rng.randn(500, 16)
+    f2 = rng.randn(500, 16)
+    fid = compute_fid_from_features(f1, f2)
+    assert 0 <= fid < 1.0  # sampling noise only
+
+
+def test_kid_zero_for_identical_sets():
+    rng = np.random.RandomState(3)
+    f = rng.randn(100, 16)
+    kid_same = compute_kid_from_features(f, f.copy())
+    rng2 = np.random.RandomState(4)
+    kid_diff = compute_kid_from_features(f, f + 3.0)
+    assert abs(kid_same) < 1e-6 or kid_same < kid_diff
+    assert kid_diff > 1.0
+
+
+def test_kid_unbiased_sign():
+    # same distribution -> near zero (can be slightly negative, unbiased)
+    rng = np.random.RandomState(5)
+    f1 = rng.randn(400, 8)
+    f2 = rng.randn(400, 8)
+    kid = compute_kid_from_features(f1, f2)
+    assert abs(kid) < 0.5
