@@ -215,3 +215,72 @@ def test_reference_chain_golden_parity(skip_steps, cfg_scale):
         np.asarray(out), np.transpose(ref_out, (0, 2, 3, 1)),
         rtol=2e-3, atol=2e-3,
     )
+
+
+@pytest.mark.slow
+def test_reference_refine_golden_parity():
+    """Oracle parity for the eta=1 refinement pass (_refine, ddim.py:339-393):
+    re-noise to refine_steps-1 then plain p_sample_ddim over the tail."""
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as RefUNet
+
+    DDIMSampler.register_buffer = lambda self, name, attr: setattr(
+        self, name,
+        attr if not isinstance(attr, torch.Tensor) else attr.to(torch.float32),
+    )
+
+    torch.manual_seed(0)
+    ref_unet = RefUNet(
+        image_size=8, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=(1,), channel_mult=(1, 2),
+        num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=16, legacy=False, use_checkpoint=False,
+    ).eval()
+    betas = schedule.make_beta_schedule("linear", T_DDPM, 0.00085, 0.0120)
+    model = _TinyLDM(ref_unet, betas)
+    sampler = DDIMSampler(model)
+
+    x0_t = torch.randn(*SHAPE)
+    cond = torch.randn(1, 5, 16)
+    refine_steps = 4
+    REFINE_ETA = 1.0
+
+    sampler.make_schedule(ddim_num_steps=S, ddim_eta=REFINE_ETA, verbose=False)
+    with torch.no_grad(), _NoiseTape() as tape:
+        ref_out, _ = sampler._refine(
+            refine_steps, cond, SHAPE, x0=x0_t,
+            unconditional_guidance_scale=1.0, unconditional_conditioning=None,
+        )
+    ref_out = ref_out.numpy()
+
+    cfg = GDUNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_heads=4,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=16,
+        legacy=False,
+    )
+    our_unet = GDUNet(cfg)
+    params = convert_gd_unet(
+        {k: v.detach().numpy() for k, v in ref_unet.state_dict().items()}
+    )
+    ctx = jnp.asarray(cond.numpy())
+
+    def model_fn(x, t):
+        return our_unet.apply(params, x, t, ctx)
+
+    from cyclediffusion_tpu.ops import steps as step_ops
+
+    sched = schedule.DDIMSchedule.create(betas, S, REFINE_ETA)
+    # tape: draw 0 = q_sample noise; draws 1.. = per-step fresh eps
+    xt = step_ops.q_sample(
+        _nhwc(x0_t.numpy()), sched.alphas[refine_steps - 1],
+        _nhwc(tape.draws[0]),
+    )
+    eps_seq = jnp.stack([_nhwc(d) for d in tape.draws[1:]])
+    assert eps_seq.shape[0] == refine_steps
+    out = ddim_decode(model_fn, sched, xt, eps_seq,
+                      skip_steps=S - refine_steps)
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(ref_out, (0, 2, 3, 1)),
+        rtol=2e-3, atol=2e-3,
+    )
