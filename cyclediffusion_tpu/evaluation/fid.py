@@ -95,10 +95,70 @@ def _clip_features(images: np.ndarray) -> Optional[np.ndarray]:
     return np.concatenate(out, axis=0).astype(np.float64)
 
 
+def _resize_299_bicubic(images: np.ndarray) -> np.ndarray:
+    """clean-fid's resize: PIL bicubic to 299x299 on [0,255] floats."""
+    if images.shape[1:3] == (299, 299):
+        return images
+    try:
+        from PIL import Image
+
+        out = np.empty((images.shape[0], 299, 299, 3), np.float32)
+        for i, img in enumerate(images):
+            arr = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            out[i] = np.asarray(
+                Image.fromarray(arr).resize((299, 299), Image.BICUBIC),
+                np.float32,
+            ) / 255.0
+        return out
+    except ImportError:
+        import jax
+        import jax.numpy as jnp
+
+        resized = jax.image.resize(
+            jnp.asarray(images), (images.shape[0], 299, 299, 3), "cubic"
+        )
+        return np.clip(np.asarray(resized), 0.0, 1.0)
+
+
 def _inception_features(images: np.ndarray) -> Optional[np.ndarray]:
+    """pool3 features from the native Flax tower (preferred) or a
+    torchscript asset (legacy fallback).  Parity:
+    ``/root/reference/evaluation/translate_to_dog.py:81-88`` (clean-fid's
+    InceptionV3)."""
     path = os.environ.get("CYCLEDIFFUSION_INCEPTION_CKPT")
     if not path or not os.path.exists(path):
         return None
+
+    # native path: a pytorch-fid state_dict asset, converted + run in Flax
+    try:
+        from cyclediffusion_tpu.convert.inception_import import convert_inception
+        from cyclediffusion_tpu.convert.torch_import import load_torch_state_dict
+        from cyclediffusion_tpu.models.inception import inception_pool3_features
+
+        params = convert_inception(load_torch_state_dict(path))
+    except Exception:
+        params = None
+
+    if params is not None:
+        import jax
+        import jax.numpy as jnp
+
+        feat_fn = jax.jit(inception_pool3_features)
+        resized = _resize_299_bicubic(images)
+        out = []
+        for i in range(0, resized.shape[0], 32):
+            batch = resized[i:i + 32]
+            pad = 0
+            if batch.shape[0] < 32 and resized.shape[0] > 32:
+                pad = 32 - batch.shape[0]  # avoid a second compile
+                batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+            feats = np.asarray(feat_fn(params, jnp.asarray(batch)))
+            if pad:
+                feats = feats[:-pad]
+            out.append(feats)
+        return np.concatenate(out, axis=0).astype(np.float64)
+
+    # legacy: torchscript archive with its own resize+normalize graph
     import torch
 
     model = torch.jit.load(path).eval()
@@ -108,8 +168,6 @@ def _inception_features(images: np.ndarray) -> Optional[np.ndarray]:
             batch = torch.from_numpy(
                 np.transpose(images[i:i + 32], (0, 3, 1, 2))
             ).float()
-            # clean-fid feeds uint8-scaled 299x299; the torchscript asset is
-            # expected to include its own resize+normalize graph
             feats = model(batch * 255.0)
             out.append(feats.numpy())
     return np.concatenate(out, axis=0).astype(np.float64)
