@@ -65,6 +65,12 @@ class EvalLoader:
         per = math.ceil(n / process_count)
         self.indices = list(range(process_index * per,
                                   min((process_index + 1) * per, n)))
+        if process_count > 1 and n > 0:
+            # wrap-pad every shard to the same length (ShardSampler :288-302
+            # repeat-padding) so cross-process allgather sees uniform shapes;
+            # the gather truncates back to len(dataset), dropping duplicates
+            while len(self.indices) < per:
+                self.indices.append(len(self.indices) % n)
 
     def __iter__(self):
         for i in range(0, len(self.indices), self.batch_size):
@@ -81,6 +87,42 @@ class EvalLoader:
 
     def __len__(self):
         return math.ceil(len(self.indices) / self.batch_size) if self.indices else 0
+
+
+def gather_sharded_outputs(arrays, n: int, process_count: int, allgather=None):
+    """Cross-process gather of per-shard eval outputs (images AND losses).
+
+    Parity: the reference all-gathers every eval output across ranks
+    (``trainer/trainer.py:43-61,833``) — not just images.  Each value's
+    leading axis is this process's contiguous shard (EvalLoader order); the
+    gather pads ragged tails to ``ceil(n / process_count)``, stacks
+    process-major, flattens, and truncates to ``n``, preserving dataset
+    order.  ``allgather`` is injectable for single-host tests; defaults to
+    ``jax.experimental.multihost_utils.process_allgather``.
+    """
+    if process_count <= 1:
+        return {
+            k: _pad_leading(np.asarray(v), n) for k, v in arrays.items()
+        }
+    if allgather is None:
+        from jax.experimental import multihost_utils
+
+        allgather = multihost_utils.process_allgather
+    per = math.ceil(n / process_count)
+    out = {}
+    for k, v in arrays.items():
+        # EvalLoader wrap-pads every shard to ``per`` items, so shapes are
+        # uniform across processes; _pad_leading is belt-and-braces
+        g = np.asarray(allgather(_pad_leading(np.asarray(v), per)))
+        out[k] = g.reshape((-1,) + g.shape[2:])[:n]
+    return out
+
+
+def _pad_leading(a: np.ndarray, width: int) -> np.ndarray:
+    if a.shape[0] >= width:
+        return a[:width]
+    pad = np.zeros((width - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
 
 
 class TrainerState:
@@ -327,18 +369,20 @@ class Driver:
             np.concatenate(translated) if translated
             else np.zeros((0,))
         )
-        if self.process_count > 1:
-            from jax.experimental import multihost_utils
-
-            local_orig = multihost_utils.process_allgather(local_orig)
-            local_orig = local_orig.reshape((-1,) + local_orig.shape[2:])
-            local_trans = multihost_utils.process_allgather(local_trans)
-            local_trans = local_trans.reshape((-1,) + local_trans.shape[2:])
         n = len(dataset)
-        local_orig, local_trans = local_orig[:n], local_trans[:n]
-        losses_acc = (losses_acc + [0.0] * n)[:n]
-        for k in losses_dict:
-            losses_dict[k] = (losses_dict[k] + [0.0] * n)[:n]
+        gathered = gather_sharded_outputs(
+            {
+                "orig": local_orig,
+                "trans": local_trans,
+                "weighted_loss": np.asarray(losses_acc, np.float32),
+                **{f"loss/{k}": np.asarray(v, np.float32)
+                   for k, v in losses_dict.items()},
+            },
+            n=n, process_count=self.process_count,
+        )
+        local_orig, local_trans = gathered["orig"], gathered["trans"]
+        losses_acc = gathered["weighted_loss"].tolist()
+        losses_dict = {k: gathered[f"loss/{k}"].tolist() for k in losses_dict}
 
         metrics = {}
         if self.compute_metrics is not None and self.is_world_process_zero():
@@ -466,8 +510,10 @@ class Driver:
         steps = 0
         import optax
 
-        accum_grads = None
         for epoch in range(epochs):
+            # reset per epoch: a ragged tail (epoch length not a multiple of
+            # gradient_accumulation_steps) must not leak into the next epoch
+            accum_grads = None
             order = rng.permutation(n_train)
             shard = order[self.process_index::self.process_count]
             for i in range(0, len(shard) - batch_size + 1, batch_size):

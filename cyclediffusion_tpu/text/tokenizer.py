@@ -87,7 +87,11 @@ class CLIPBPETokenizer:
         opener = gzip.open if bpe_path.endswith(".gz") else open
         with opener(bpe_path, "rt", encoding="utf-8") as f:
             merges = f.read().split("\n")
+        # slice matches clip/simple_tokenizer.py; the pair-filter only guards
+        # short synthetic files (blank tail lines) — every line in the real
+        # asset's slice has exactly two elements
         merges = [tuple(m.split()) for m in merges[1 : 49152 - 256 - 2 + 1]]
+        merges = [m for m in merges if len(m) == 2]
         vocab = list(_bytes_to_unicode().values())
         vocab = vocab + [v + "</w>" for v in vocab]
         for merge in merges:

@@ -42,7 +42,9 @@ def build(batch: int):
 
 
 def slope_time(step, params, x, t, ctx, reps=3):
-    def chain(x, n):
+    # params/ctx must be traced arguments — closing over them bakes GBs of
+    # constants into the program (PERF.md round-1 landmine)
+    def chain(params, x, t, ctx, n):
         def body(c, _):
             out = step(c, t, ctx, params)
             return out.astype(c.dtype), 0.0
@@ -52,11 +54,13 @@ def slope_time(step, params, x, t, ctx, reps=3):
     g1 = jax.jit(functools.partial(chain, n=N1))
     g2 = jax.jit(functools.partial(chain, n=N2))
     print("  compiling...", flush=True)
-    float(g1(x)); float(g2(x))
+    float(g1(params, x, t, ctx)); float(g2(params, x, t, ctx))
     t1s, t2s = [], []
     for _ in range(reps):
-        t0 = time.perf_counter(); float(g1(x)); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(g2(x)); t2s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(g1(params, x, t, ctx))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(g2(params, x, t, ctx))
+        t2s.append(time.perf_counter() - t0)
     t1s.sort(); t2s.sort()
     return (t2s[len(t2s) // 2] - t1s[len(t1s) // 2]) / (N2 - N1) * 1000.0
 
