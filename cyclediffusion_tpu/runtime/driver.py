@@ -201,10 +201,44 @@ class Driver:
     def is_world_process_zero(self) -> bool:
         return self.process_index == 0
 
+    def _wandb(self):
+        """Lazy rank-0 wandb handle; None when disabled or not installed.
+
+        Parity: the reference inits wandb on rank 0 (``main.py:38-54``) and
+        logs every metric dict (``trainer/trainer.py:332-352``).  wandb is an
+        optional dependency here — absence degrades to console/JSON logging
+        with a one-time warning.
+        """
+        if not hasattr(self, "_wandb_run"):
+            self._wandb_run = None
+            report_to = str(getattr(self.args, "report_to", "none") or "none")
+            if self.is_world_process_zero() and "wandb" in report_to:
+                try:
+                    import wandb
+
+                    if wandb.run is None:
+                        wandb.init(
+                            project=os.environ.get(
+                                "WANDB_PROJECT", "cyclediffusion_tpu"),
+                            name=os.path.basename(
+                                str(getattr(self.args, "cfg", "run"))),
+                            config={k: v for k, v in vars(self.args).items()
+                                    if isinstance(v, (int, float, str, bool))},
+                        )
+                    self._wandb_run = wandb
+                except ImportError:
+                    logger.warning(
+                        "report_to includes 'wandb' but wandb is not "
+                        "installed; metrics go to console/JSON only.")
+        return self._wandb_run
+
     def log(self, logs: dict) -> None:
         logs["step"] = self.state.global_step
         self.state.log_history.append(logs)
         logger.info("%s", logs)
+        wb = self._wandb()
+        if wb is not None:
+            wb.log(logs, step=self.state.global_step)
 
     def metrics_format(self, metrics: dict) -> dict:
         out = {}

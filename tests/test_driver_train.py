@@ -64,3 +64,59 @@ def test_train_noop_without_trainables(tmp_path):
     driver = Driver(args, model, train_dataset=_Wrap([]))
     metrics = driver.train()
     assert "train_runtime" in metrics
+
+
+def test_wandb_surface_gated_and_logged(tmp_path, monkeypatch):
+    """report_to=wandb routes log() through a wandb module when importable
+    (a fake here), and degrades silently to console logging otherwise."""
+    import sys
+    import types
+
+    from cyclediffusion_tpu.runtime.driver import Driver
+
+    calls = []
+    fake = types.ModuleType("wandb")
+    fake.run = None
+
+    def init(**kw):
+        fake.run = object()
+        calls.append(("init", kw))
+
+    fake.init = init
+    fake.log = lambda logs, step=None: calls.append(("log", dict(logs), step))
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    args = types.SimpleNamespace(
+        output_dir=str(tmp_path), report_to="wandb", cfg="experiments/x.cfg",
+        seed=0,
+    )
+    drv = Driver.__new__(Driver)
+    drv.args = args
+    drv.process_index = 0
+    drv.process_count = 1
+    from cyclediffusion_tpu.runtime.driver import TrainerState
+
+    drv.state = TrainerState()
+    drv.log({"loss": 1.0})
+    assert [c[0] for c in calls] == ["init", "log"]
+    assert calls[1][1]["loss"] == 1.0
+
+    # absence of wandb degrades gracefully
+    monkeypatch.delitem(sys.modules, "wandb")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_wandb(name, *a, **k):
+        if name == "wandb":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_wandb)
+    drv2 = Driver.__new__(Driver)
+    drv2.args = args
+    drv2.process_index = 0
+    drv2.process_count = 1
+    drv2.state = TrainerState()
+    drv2.log({"loss": 2.0})  # must not raise
+    assert drv2._wandb() is None
