@@ -69,6 +69,7 @@ class StochasticTextPipeline:
         decoder_unconditional_guidance_scales: Sequence[float],
         n_trials: int,
         candidate_chunk: Optional[int] = None,
+        mesh=None,
     ):
         assert eta > 0
         assert core.spec.cond_kind is not None
@@ -86,6 +87,11 @@ class StochasticTextPipeline:
         # batch is 2 * batch * chunk (CFG dual batch), which at the reference
         # SD config (15 trials x 16 images) would not fit HBM unchunked
         self.candidate_chunk = candidate_chunk
+        # optional device mesh: the candidate axis (the workload's natural
+        # "long axis", SURVEY §5 — up to 540 candidates/sample) is sharded
+        # over the mesh's ``data`` axis; params/conditioning replicate.
+        # Launch sizes are padded to a multiple of the data-axis extent.
+        self.mesh = mesh
 
         self.sched = core.make_ddim_schedule(custom_steps, eta)
         self.resolution = core.spec.resolution
@@ -108,6 +114,46 @@ class StochasticTextPipeline:
         }
         self._decode_jit = jax.jit(
             lambda p, z: core.decode_first_stage(z, params=p)
+        )
+
+    # ---- mesh plumbing ---------------------------------------------------- #
+
+    @property
+    def _data_extent(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get("data", 1))
+
+    def _pad_launch(self, sub: list, chunk: int, c0: int) -> list:
+        """Pad a launch's candidate list: tail chunks keep the chunk's
+        compiled shape, and every launch rounds up to the data-axis extent."""
+        want = chunk if (len(sub) < chunk and c0 > 0) else len(sub)
+        ext = self._data_extent
+        want = ((want + ext - 1) // ext) * ext
+        return sub + sub[-1:] * (want - len(sub))
+
+    def _shard_candidate_axis(self, *arrays):
+        """device_put candidate-leading arrays over the ``data`` axis."""
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = tuple(
+            jax.device_put(
+                a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+            )
+            for a in arrays
+        )
+        return out
+
+    def _replicated(self, *trees):
+        if self.mesh is None:
+            return trees
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        return tuple(
+            jax.tree.map(lambda a: jax.device_put(a, rep), t) for t in trees
         )
 
     # ---- conditioning --------------------------------------------------- #
@@ -185,25 +231,24 @@ class StochasticTextPipeline:
         ]
         keys = jax.random.split(k_chains, len(combos))
 
-        # group by skip -> one vmapped call per distinct skip, in chunks
+        params, x0, c_ctx, uc_ctx = self._replicated(
+            self.core.params, x0, c_ctx, uc_ctx)
+        # group by skip -> one vmapped call per distinct skip, in chunks;
+        # the candidate axis is sharded over the mesh's data axis
         results = {}
         for skip in sorted(set(self.skip_steps)):
             idxs = [i for i, (_, _, sk) in enumerate(combos) if sk == skip]
             chunk = self.candidate_chunk or len(idxs)
             for c0 in range(0, len(idxs), chunk):
                 sub = idxs[c0 : c0 + chunk]
-                if len(sub) < chunk and c0 > 0:
-                    # keep one compiled shape per skip: pad the tail chunk
-                    pad = chunk - len(sub)
-                    sub_padded = sub + sub[-1:] * pad
-                else:
-                    sub_padded = sub
+                sub_padded = self._pad_launch(sub, chunk, c0)
                 scales = jnp.asarray(
                     [combos[i][1] for i in sub_padded], jnp.float32
                 )
+                scales, cand_keys = self._shard_candidate_axis(
+                    scales, keys[jnp.asarray(sub_padded)])
                 xT, eps = self._encode_skip[skip](
-                    self.core.params, x0, c_ctx, uc_ctx, scales,
-                    keys[jnp.asarray(sub_padded)],
+                    params, x0, c_ctx, uc_ctx, scales, cand_keys,
                 )
                 for j, i in enumerate(sub):
                     results[i] = (xT[j], eps[j])
@@ -250,21 +295,23 @@ class StochasticTextPipeline:
                 for d, ds in enumerate(self.dec_scales):
                     work.append((xT, eps, ds, i * len(self.dec_scales) + d))
             chunk = self.candidate_chunk or len(work)
+            params, c_ctx_r, uc_ctx_r = self._replicated(
+                self.core.params, c_ctx, uc_ctx)
             for c0 in range(0, len(work), chunk):
                 sub = work[c0 : c0 + chunk]
-                if len(sub) < chunk and c0 > 0:
-                    sub = sub + sub[-1:] * (chunk - len(sub))
-                n_real = len(work[c0 : c0 + chunk])
-                samples = self._decode_skip[skip](
-                    self.core.params,
+                n_real = len(sub)
+                sub = self._pad_launch(sub, chunk, c0)
+                xT_b, eps_b, scales_b, keys_b = self._shard_candidate_axis(
                     jnp.stack([w[0] for w in sub]),
                     jnp.stack([w[1] for w in sub]),
-                    c_ctx, uc_ctx,
                     jnp.asarray([w[2] for w in sub], jnp.float32),
                     keys[jnp.asarray([w[3] for w in sub])],
                 )
+                samples = self._decode_skip[skip](
+                    params, xT_b, eps_b, c_ctx_r, uc_ctx_r, scales_b, keys_b,
+                )
                 decoded = self._decode_jit(
-                    self.core.params,
+                    params,
                     samples.reshape((-1,) + samples.shape[2:]),
                 )
                 decoded = decoded.reshape(
