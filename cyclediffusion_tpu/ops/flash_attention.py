@@ -31,7 +31,7 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
-                  kv_len: int, block_k: int):
+                  kv_len: int, block_k: int, kv_actual: int):
     q = q_ref[0]                                         # (BQ, D) input dtype
     bq = q.shape[0]
     d = q.shape[1]
@@ -51,6 +51,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale                                     # (BQ, BK) fp32
+        if kv_actual < kv_len:
+            # zero-padded keys (e.g. 77-token text context padded to the
+            # 128-lane block) must not enter the softmax: mask them to -inf
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < kv_actual, s, _NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -84,20 +90,20 @@ def flash_attention_bhtd(q, k, v, sm_scale: float, *, interpret: bool = False):
 
     d_pad = max(128, ((d + 127) // 128) * 128)
     block_q = min(BLOCK_Q, max(8, tq))
-    block_k = min(BLOCK_K, tk)
+    block_k = min(BLOCK_K, ((tk + 127) // 128) * 128)
     tq_pad = ((tq + block_q - 1) // block_q) * block_q
     # padded q rows attend over real keys and are sliced away afterwards;
-    # padded KEYS would corrupt the softmax, so the dispatcher only routes
-    # here when tk divides block_k (true for all UNet attention shapes)
-    assert tk % block_k == 0, (tk, block_k)
-    tk_pad = tk
+    # padded KEYS are masked to -inf inside the kernel (kv_actual), so
+    # short contexts (77-token CLIP text) route here too
+    tk_pad = ((tk + block_k - 1) // block_k) * block_k
 
     qp = _pad_to(_pad_to(q, d_pad, 3), tq_pad, 2).reshape(b * h, tq_pad, d_pad)
-    kp = _pad_to(k, d_pad, 3).reshape(b * h, tk_pad, d_pad)
-    vp = _pad_to(v, d_pad, 3).reshape(b * h, tk_pad, d_pad)
+    kp = _pad_to(_pad_to(k, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
+    vp = _pad_to(_pad_to(v, d_pad, 3), tk_pad, 2).reshape(b * h, tk_pad, d_pad)
 
     kernel = functools.partial(
-        _flash_kernel, sm_scale=sm_scale, kv_len=tk_pad, block_k=block_k
+        _flash_kernel, sm_scale=sm_scale, kv_len=tk_pad, block_k=block_k,
+        kv_actual=tk,
     )
     grid = (b * h, tq_pad // block_q)
     out = pl.pallas_call(
@@ -119,6 +125,126 @@ def flash_attention_bhtd(q, k, v, sm_scale: float, *, interpret: bool = False):
     return out.reshape(b, h, tq_pad, d_pad)[:, :, :tq, :d]
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                   sm_scale: float, num_heads: int, head_dim: int,
+                   kv_actual: int, block_k: int):
+    """All-heads-per-program flash attention on token-major (T, H*D) blocks.
+
+    One program handles (batch b, q-block qi, k-block kb); the head loop is
+    unrolled inside, slicing each head's d-lanes out of the packed block.
+    Softmax state (m, l, acc) lives in VMEM scratch across the kb grid walk
+    (the innermost, "arbitrary" grid dimension), so q/k/v never need the
+    (B,H,T,D) transpose + d->128 pad round-trips through HBM that a
+    head-major kernel forces (profiled at ~8.9 ms/step on the SD UNet).
+    """
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mask = None
+    if kv_actual < block_k * nk:
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[1], block_k), 1)
+        mask = col < kv_actual
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[0][:, sl] * jnp.asarray(sm_scale, q_ref.dtype)
+        kh = k_ref[0][:, sl]
+        vh = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (BQ, BK) fp32
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, h:h + 1]
+        l_prev = l_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new).astype(vh.dtype)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:, h:h + 1] = m_new
+        # ones-augmented V: the PV matmul's padded output lanes are free, so
+        # lane `head_dim` carries sum(p) — the softmax denominator rides the
+        # MXU instead of costing a VPU reduction pass over (BQ, BK)
+        v_aug = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+        out_aug = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (BQ, D+1) fp32
+        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+
+    @pl.when(kb == nk - 1)
+    def _flush():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            o_ref[0, :, sl] = (
+                acc_ref[:, sl] / l_ref[:, h:h + 1]
+            ).astype(o_ref.dtype)
+
+
+def flash_attention_packed(q, k, v, num_heads: int, sm_scale: float, *,
+                           block_q: int = 512, block_k: int = 2048,
+                           interpret: bool = False):
+    """Token-major flash attention: q (B,Tq,H*D), k/v (B,Tk,H*D) -> same.
+
+    Operates directly on the transformer's native packed layout — no head
+    transpose, no d->128 HBM padding.  Requires H*D and the head slices to
+    live on the lane axis (any H*D works; non-128-aligned head offsets cost
+    in-register lane shifts only).
+    """
+    b, tq, hd = q.shape
+    tk = k.shape[1]
+    assert hd % num_heads == 0
+    d = hd // num_heads
+
+    block_q = min(block_q, max(8, tq))
+    block_k = min(block_k, ((tk + 127) // 128) * 128)
+    tq_pad = ((tq + block_q - 1) // block_q) * block_q
+    tk_pad = ((tk + block_k - 1) // block_k) * block_k
+    qp = _pad_to(q, tq_pad, 1)
+    kp = _pad_to(k, tk_pad, 1)
+    vp = _pad_to(v, tk_pad, 1)
+
+    kernel = functools.partial(
+        _packed_kernel, sm_scale=sm_scale, num_heads=num_heads, head_dim=d,
+        kv_actual=tk, block_k=block_k,
+    )
+    grid = (b, tq_pad // block_q, tk_pad // block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, qi, kb: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda b, qi, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda b, qi, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, qi, kb: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, max(128, num_heads)), jnp.float32),  # m
+            pltpu.VMEM((block_q, max(128, num_heads)), jnp.float32),  # l
+            pltpu.VMEM((block_q, hd), jnp.float32),                   # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :tq, :]
+
+
 def attention_reference(q, k, v, sm_scale: float):
     """Naive einsum attention (fp32 softmax) — the fallback / oracle."""
     logits = jnp.einsum(
@@ -136,18 +262,23 @@ def multi_head_attention_fused(q, k, v, num_heads: int,
     b, tq, width = q.shape
     tk = k.shape[1]
     d = width // num_heads
+    sm_scale = 1.0 / math.sqrt(d)
+    on_tpu = jax.default_backend() == "tpu"
+
+    # dispatch measured on v5e (tools/attn_probe.py, CFG batch 8):
+    # * 4096-token self-attention: packed token-major kernel 3.3 ms vs
+    #   head-major flash 4.5 ms vs einsum 11.7 ms — packed avoids the
+    #   (B,H,T,D) transpose and d->128 HBM pad entirely;
+    # * 1024-token self-attention: head-major flash wins (0.06 vs 0.12 ms);
+    # * short-KV cross-attention (77-token CLIP context): fused einsum wins
+    #   (0.05 vs 0.32 ms) — XLA keeps the small logits block fused.
+    if on_tpu and tq >= 2 * min_flash_tokens and tk >= 512:
+        return flash_attention_packed(q, k, v, num_heads, sm_scale)
+
     qh = q.reshape(b, tq, num_heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, tk, num_heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, tk, num_heads, d).transpose(0, 2, 1, 3)
-    sm_scale = 1.0 / math.sqrt(d)
-
-    use_flash = (
-        jax.default_backend() == "tpu"
-        and tq >= min_flash_tokens
-        and tk >= 128
-        and tk % min(BLOCK_K, tk) == 0
-    )
-    if use_flash:
+    if on_tpu and tq >= min_flash_tokens and tk >= 512:
         out = flash_attention_bhtd(qh, kh, vh, sm_scale)
     else:
         out = attention_reference(qh, kh, vh, sm_scale)

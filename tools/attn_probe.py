@@ -22,10 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 SHAPES = [
-    # (B, H, T, D)   SD-v1 self-attention levels (CFG dual batch)
-    (2, 8, 4096, 40),
-    (2, 8, 1024, 80),
-    (2, 8, 256, 160),
+    # (B, H, Tq, Tk, D)   SD-v1 attention shapes (CFG dual batch)
+    (2, 8, 4096, 4096, 40),   # ds1 self
+    (2, 8, 1024, 1024, 80),   # ds2 self
+    (2, 8, 256, 256, 160),    # ds4 self
+    (2, 8, 4096, 77, 40),     # ds1 cross (CLIP context)
+    (2, 8, 1024, 77, 80),     # ds2 cross
+    (8, 8, 4096, 4096, 40),   # ds1 self, image-batch 4
+    (8, 8, 4096, 77, 40),     # ds1 cross, image-batch 4
 ]
 
 N1, N2 = 10, 110  # slope endpoints
@@ -53,11 +57,11 @@ def measure(fn, args, reps=3):
     return (t2s[len(t2s) // 2] - t1s[len(t1s) // 2]) / (N2 - N1) * 1000.0
 
 
-def make_args(b, h, t, d, dtype=jnp.bfloat16):
+def make_args(b, h, tq, tk, d, dtype=jnp.bfloat16):
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    q = jax.random.normal(ks[0], (b, h, t, d), dtype)
-    k = jax.random.normal(ks[1], (b, h, t, d), dtype)
-    v = jax.random.normal(ks[2], (b, h, t, d), dtype)
+    q = jax.random.normal(ks[0], (b, h, tq, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, tk, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, tk, d), dtype)
     return q, k, v
 
 
@@ -111,24 +115,63 @@ VARIANTS = {
     "dpa": v_dpa,
 }
 
+# ---- wrapper-level variants: inputs in the transformer's native (B,T,H*D)
+# layout, so transpose/pad plumbing costs are included -------------------- #
+
+def _mha_dispatch(q, k, v, heads):
+    from cyclediffusion_tpu.ops.flash_attention import multi_head_attention_fused
+    return multi_head_attention_fused(q, k, v, heads)
+
+
+def _mha_packed(q, k, v, heads, bq=1024, bk=1024):
+    from cyclediffusion_tpu.ops.flash_attention import flash_attention_packed
+    d = q.shape[-1] // heads
+    return flash_attention_packed(q, k, v, heads, 1.0 / math.sqrt(d),
+                                  block_q=bq, block_k=bk)
+
+
+MHA_VARIANTS = {
+    "mha_current": _mha_dispatch,
+    "mha_packed": _mha_packed,  # library defaults
+    "mha_packed_512": functools.partial(_mha_packed, bq=512, bk=512),
+    "mha_packed_2048": functools.partial(_mha_packed, bq=2048, bk=2048),
+    "mha_packed_bq512": functools.partial(_mha_packed, bq=512, bk=1024),
+    "mha_packed_bk2048": functools.partial(_mha_packed, bq=512, bk=2048),
+    "mha_packed_bq256": functools.partial(_mha_packed, bq=256, bk=1024),
+    "mha_packed_bk4096": functools.partial(_mha_packed, bq=1024, bk=4096),
+    "mha_packed_bq2048bk1024": functools.partial(_mha_packed, bq=2048, bk=1024),
+}
+
 
 def main():
     names = sys.argv[1:] or list(VARIANTS)
     print(f"backend={jax.default_backend()} slope {N1}->{N2}")
-    for b, h, t, d in SHAPES:
-        args = make_args(b, h, t, d)
+    for b, h, tq, tk, d in SHAPES:
+        args = make_args(b, h, tq, tk, d)
+        flat = tuple(
+            x.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[2], h * d)
+            for x in args
+        )
         ref = None
+        ref_flat = None
         for name in names:
-            fn = VARIANTS[name]
+            mha = name in MHA_VARIANTS
+            fn = (functools.partial(MHA_VARIANTS[name], heads=h) if mha
+                  else VARIANTS[name])
+            use_args = flat if mha else args
             try:
-                out = np.asarray(jax.jit(fn)(*args)).astype(np.float32)
+                out = np.asarray(jax.jit(fn)(*use_args)).astype(np.float32)
                 if ref is None:
                     ref = np.asarray(jax.jit(v_einsum)(*args)).astype(np.float32)
-                err = float(np.max(np.abs(out - ref)))
-                ms = measure(fn, args)
-                print(f"({b},{h},{t:5d},{d:4d}) {name:14s} {ms:8.3f} ms  maxerr={err:.2e}")
+                    ref_flat = np.ascontiguousarray(
+                        ref.transpose(0, 2, 1, 3).reshape(out.shape[0], -1, h * d)
+                        if ref.ndim == 4 else ref)
+                err = float(np.max(np.abs(out - (ref_flat if mha else ref))))
+                ms = measure(fn, use_args)
+                print(f"({b},{h},{tq:5d},{tk:5d},{d:4d}) {name:24s} {ms:8.3f} ms  maxerr={err:.2e}")
             except Exception as e:
-                print(f"({b},{h},{t:5d},{d:4d}) {name:14s} FAILED: {type(e).__name__}: {e}")
+                print(f"({b},{h},{tq:5d},{tk:5d},{d:4d}) {name:24s} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:160]}")
         sys.stdout.flush()
 
 
