@@ -21,6 +21,7 @@ marks the config accordingly.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -79,6 +80,89 @@ def build(platform: str):
 THROUGHPUT_BATCH = 4  # measured optimum on v5e (ms/image-step minimum)
 
 
+def build_full_translate(platform: str):
+    """Full CycleDiffusion translate: VAE encode + CLIP text conditioning +
+    50-step DPM-Encoder + 50-step CFG eps-replay + VAE decode, batch 1.
+
+    The workload's unit of value (reference hot loops SURVEY §3.3/§3.4,
+    stable_diffusion_stochastic_text_wrapper.py:142-216): two jitted
+    programs (encode / decode), compiled serially to respect the
+    remote-compile tunnel.
+    """
+    from cyclediffusion_tpu.ops.cfg import cfg_model_fn
+    from cyclediffusion_tpu.pipelines.latent import (
+        LatentCoreSpec,
+        LatentDiffusionCore,
+    )
+    from cyclediffusion_tpu.samplers import ddim_decode, dpm_encode
+
+    if platform == "cpu":
+        spec, steps, res = LatentCoreSpec.tiny(cond_kind="clip"), 6, 32
+    else:
+        spec, steps, res = LatentCoreSpec.sd_v1(), 50, 512
+
+    core = LatentDiffusionCore.random_init(
+        spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16
+    )
+    sched = core.make_ddim_schedule(steps, eta=0.1)
+
+    def eps_model(params, ctx, scale):
+        def model(x, t, c):
+            return core.unet.apply(
+                params["unet"], x.astype(jnp.bfloat16), t, c
+            ).astype(jnp.float32)
+        uc, c = jnp.split(ctx, 2, axis=0)
+        return cfg_model_fn(model, uc, c, scale)
+
+    def encode(params, image01, ids, key):
+        ctx = core.cond_model.apply(params["cond"], ids).astype(jnp.bfloat16)
+        k_vae, k_enc = jax.random.split(key)
+        m11 = image01 * 2.0 - 1.0
+        noise_shape = (1, spec.image_size, spec.image_size, spec.channels)
+        x0 = core.encode_first_stage(
+            m11, jax.random.normal(k_vae, noise_shape), params
+        )
+        # encoder guidance scale 1.0 (reference cfg default): cond-only call
+        fn = eps_model(params, ctx, 1.0)
+        xT, eps = dpm_encode(fn, sched, x0, k_enc, white_box_steps=steps + 1)
+        return xT, eps, ctx
+
+    def decode(params, xT, eps, ctx, key):
+        fn = eps_model(params, ctx, 5.0)
+        z0 = ddim_decode(fn, sched, xT, eps, key)
+        img = core.decode_first_stage(z0, params)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, res, res, 3))
+    seq = spec.cond_cfg.max_positions
+    ids = jnp.zeros((2, seq), jnp.int32)  # [uncond; cond] token ids
+    return (jax.jit(encode), jax.jit(decode), core.params, image, ids)
+
+
+def _measure_full_translate(platform: str, reps: int):
+    import numpy as np
+
+    encode, decode, params, image, ids = build_full_translate(platform)
+    key = jax.random.PRNGKey(5)
+
+    # serialize the two big compiles (tunnel drops under concurrent load)
+    z = encode(params, image, ids, key)
+    np.asarray(z[0])
+    out = decode(params, *z, jax.random.fold_in(key, 1))
+    np.asarray(out)
+
+    times = []
+    for i in range(reps):
+        k = jax.random.fold_in(key, 100 + i)
+        t0 = time.perf_counter()
+        z = encode(params, image, ids, k)
+        out = decode(params, *z, jax.random.fold_in(k, 1))
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def _measure(chain, params, x_T, eps, ctx, steps, reps):
     """Median wall time of a full chain, synced via host transfer."""
     import numpy as np
@@ -113,6 +197,16 @@ def main():
     per_batch = _measure(chain, params, x_T_b, eps_b, ctx_b, steps, reps)
     images_per_min = 60.0 / per_batch * bsz
 
+    # full translate (encode + decode + VAE ends + text conditioning)
+    full_s = None
+    full_err = ""
+    if os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FULL") != "1":
+        try:
+            full_s = _measure_full_translate(platform, 2 if platform == "cpu"
+                                             else 3)
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            full_err = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": "SD-512 50-step translated images/min/chip; per-step UNet latency p50",
         "value": round(images_per_min, 3),
@@ -126,6 +220,11 @@ def main():
             "per_unet_step_ms_p50_batch1": round(per_step_ms, 3),
             "steps": steps,
             "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
+            "full_translate_s_per_image_batch1":
+                None if full_s is None else round(full_s, 4),
+            "full_translate_images_per_min":
+                None if full_s is None else round(60.0 / full_s, 3),
+            "full_translate_error": full_err,
         },
     }))
 

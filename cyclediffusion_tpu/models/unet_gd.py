@@ -180,11 +180,20 @@ def _attn_layout(cfg: GDUNetConfig, ch: int, num_heads_state: int):
 
 
 class GDUNet(nn.Module):
+    """See module docstring.  ``encoder_cache`` / ``return_cache`` implement
+    the encoder-propagation fast mode (Faster Diffusion, arXiv 2312.09608):
+    at non-key timesteps the down/middle blocks are skipped and their cached
+    features (skip activations + middle output) from the last key step are
+    consumed by the decoder, which still sees the current timestep embedding.
+    Opt-in via the samplers' ``key_every`` — not on the parity path.
+    """
+
     config: GDUNetConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, context=None, y=None):
+    def __call__(self, x, t, context=None, y=None, *, encoder_cache=None,
+                 return_cache=False):
         cfg = self.config
         time_embed_dim = cfg.model_channels * 4
 
@@ -218,49 +227,68 @@ class GDUNet(nn.Module):
                 num_head_channels=dim_head, dtype=self.dtype, name=name,
             )
 
-        # ---- input blocks ----
+        # ---- input blocks (skipped when consuming an encoder cache; the
+        # make_attn calls still run for their num_heads bookkeeping) ----
+        cached = encoder_cache is not None
         ch = int(cfg.channel_mult[0] * cfg.model_channels)
-        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="input_blocks_0_0")(x)
-        hs = [h]
+        h = None
+        hs = []
+        if not cached:
+            h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="input_blocks_0_0")(x)
+            hs = [h]
         input_chans = [ch]
         ds = 1
         block_idx = 1
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
                 ch = int(mult * cfg.model_channels)
-                h = GDResBlock(
-                    out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                    dtype=self.dtype, name=f"input_blocks_{block_idx}_0",
-                )(h, emb)
+                if not cached:
+                    h = GDResBlock(
+                        out_channels=ch,
+                        use_scale_shift_norm=cfg.use_scale_shift_norm,
+                        dtype=self.dtype, name=f"input_blocks_{block_idx}_0",
+                    )(h, emb)
                 if ds in cfg.attention_resolutions:
                     attn = make_attn(ch, f"input_blocks_{block_idx}_1")
-                    h = attn(h, context) if cfg.use_spatial_transformer else attn(h)
-                hs.append(h)
+                    if not cached:
+                        h = (attn(h, context) if cfg.use_spatial_transformer
+                             else attn(h))
+                if not cached:
+                    hs.append(h)
                 input_chans.append(ch)
                 block_idx += 1
             if level != len(cfg.channel_mult) - 1:
-                if cfg.resblock_updown:
-                    h = GDResBlock(
-                        out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                        down=True, dtype=self.dtype,
-                        name=f"input_blocks_{block_idx}_0",
-                    )(h, emb)
-                else:
-                    h = GDDownsample(ch, cfg.conv_resample, dtype=self.dtype,
-                                     name=f"input_blocks_{block_idx}_0")(h)
-                hs.append(h)
+                if not cached:
+                    if cfg.resblock_updown:
+                        h = GDResBlock(
+                            out_channels=ch,
+                            use_scale_shift_norm=cfg.use_scale_shift_norm,
+                            down=True, dtype=self.dtype,
+                            name=f"input_blocks_{block_idx}_0",
+                        )(h, emb)
+                    else:
+                        h = GDDownsample(ch, cfg.conv_resample, dtype=self.dtype,
+                                         name=f"input_blocks_{block_idx}_0")(h)
+                    hs.append(h)
                 input_chans.append(ch)
                 ds *= 2
                 block_idx += 1
 
         # ---- middle ----
-        h = GDResBlock(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                       dtype=self.dtype, name="middle_block_0")(h, emb)
         mid_attn = make_attn(ch, "middle_block_1")
-        h = mid_attn(h, context) if cfg.use_spatial_transformer else mid_attn(h)
-        h = GDResBlock(out_channels=ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
-                       dtype=self.dtype, name="middle_block_2")(h, emb)
+        if not cached:
+            h = GDResBlock(out_channels=ch,
+                           use_scale_shift_norm=cfg.use_scale_shift_norm,
+                           dtype=self.dtype, name="middle_block_0")(h, emb)
+            h = mid_attn(h, context) if cfg.use_spatial_transformer else mid_attn(h)
+            h = GDResBlock(out_channels=ch,
+                           use_scale_shift_norm=cfg.use_scale_shift_norm,
+                           dtype=self.dtype, name="middle_block_2")(h, emb)
+        else:
+            h = encoder_cache[0].astype(self.dtype)
+            hs = [s.astype(self.dtype) for s in encoder_cache[1]]
+        cache = (h, tuple(hs)) if return_cache else None
 
         # ---- output blocks ----
         out_idx = 0
@@ -295,6 +323,9 @@ class GDUNet(nn.Module):
         assert not hs
 
         h = silu(GroupNorm(32, 1e-5, name="out_0")(h))
-        return nn.Conv(cfg.out_channels, (3, 3), padding="SAME",
-                       kernel_init=nn.initializers.zeros, dtype=self.dtype,
-                       name="out_2")(h)
+        out = nn.Conv(cfg.out_channels, (3, 3), padding="SAME",
+                      kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                      name="out_2")(h)
+        if return_cache:
+            return out, cache
+        return out

@@ -42,3 +42,47 @@ def cfg_model_fn(model_fn: ModelFn, uncond, cond, scale: float) -> Callable:
             e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in), 2, axis=0)
             return e_uncond + scale * (e_cond - e_uncond)
     return fn
+
+
+def cfg_model_fn_pair(model_fn, uncond, cond, scale: float):
+    """CFG wrappers for the encoder-caching fast mode.
+
+    ``model_fn(x, t, cond, encoder_cache) -> (eps, cache)`` (the UNet called
+    with ``return_cache=True``).  Returns ``(key_fn, reuse_fn)`` for
+    :func:`cyclediffusion_tpu.samplers.ddim_decode_cached`:
+    ``key_fn(x, t) -> (eps, cache)`` runs the full net,
+    ``reuse_fn(x, t, cache) -> eps`` runs decoder-only on the cached
+    features.  The cache carries the dual [uncond; cond] batch when CFG is
+    active, so guidance stays exact within each branch.
+    """
+    if uncond is None or scale == 1.0:
+        cond_only, single = cond, True
+    elif scale == 0.0:
+        cond_only, single = uncond, True
+    else:
+        cond_only, single = None, False
+
+    if single:
+        def key_fn(x, t):
+            return model_fn(x, t, cond_only, None)
+
+        def reuse_fn(x, t, cache):
+            return model_fn(x, t, cond_only, cache)[0]
+    else:
+        c_in = jnp.concatenate([uncond, cond], axis=0)
+
+        def _combine(out):
+            e_uncond, e_cond = jnp.split(out, 2, axis=0)
+            return e_uncond + scale * (e_cond - e_uncond)
+
+        def key_fn(x, t):
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            out, cache = model_fn(x_in, t_in, c_in, None)
+            return _combine(out), cache
+
+        def reuse_fn(x, t, cache):
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            return _combine(model_fn(x_in, t_in, c_in, cache)[0])
+    return key_fn, reuse_fn

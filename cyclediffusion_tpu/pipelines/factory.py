@@ -172,6 +172,7 @@ def _build_text(kwargs, kind: str) -> StochasticTextPipeline:
         ),
         n_trials=kwargs.pop("n_trials"),
         candidate_chunk=kwargs.pop("candidate_chunk", None),
+        fast_key_every=kwargs.pop("fast_key_every", None),
     )
     assert not kwargs, f"unused gan kwargs: {kwargs}"
     if model_type.startswith("tiny"):

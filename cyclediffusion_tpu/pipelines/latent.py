@@ -280,6 +280,14 @@ class LatentDiffusionCore:
         params = self.params if params is None else params
         return self.unet.apply(params["unet"], x, t, context)
 
+    def apply_model_cached(self, x, t, context=None, encoder_cache=None,
+                           params=None):
+        """UNet call exposing the encoder-feature cache (fast mode):
+        returns ``(eps, cache)``; pass the cache back to skip the encoder."""
+        params = self.params if params is None else params
+        return self.unet.apply(params["unet"], x, t, context,
+                               encoder_cache=encoder_cache, return_cache=True)
+
     def get_learned_conditioning(self, token_ids, params=None):
         assert self.cond_model is not None
         params = self.params if params is None else params

@@ -52,6 +52,30 @@ def _guided_model_fn(apply_model, uc_ctx, c_ctx, scale):
     return fn
 
 
+def _guided_model_fn_pair(apply_cached, uc_ctx, c_ctx, scale):
+    """Traced-scale CFG pair for the encoder-caching fast mode
+    (``ddim_decode_cached``): same dual-batch combine as
+    :func:`_guided_model_fn`, with the encoder cache threaded through."""
+    c_in = jnp.concatenate([uc_ctx, c_ctx], axis=0)
+
+    def _combine(out):
+        e_uc, e_c = jnp.split(out, 2, axis=0)
+        return e_uc + scale * (e_c - e_uc)
+
+    def key_fn(x, t):
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.concatenate([t, t], axis=0)
+        out, cache = apply_cached(x_in, t_in, c_in, None)
+        return _combine(out), cache
+
+    def reuse_fn(x, t, cache):
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.concatenate([t, t], axis=0)
+        return _combine(apply_cached(x_in, t_in, c_in, cache)[0])
+
+    return key_fn, reuse_fn
+
+
 class StochasticTextPipeline:
     """Shared implementation behind SDStochasticText / LatentDiffStochasticText."""
 
@@ -70,6 +94,7 @@ class StochasticTextPipeline:
         n_trials: int,
         candidate_chunk: Optional[int] = None,
         mesh=None,
+        fast_key_every: Optional[int] = None,
     ):
         assert eta > 0
         assert core.spec.cond_kind is not None
@@ -83,6 +108,10 @@ class StochasticTextPipeline:
         self.enc_scales = list(encoder_unconditional_guidance_scales)
         self.dec_scales = list(decoder_unconditional_guidance_scales)
         self.n_trials = n_trials
+        # opt-in Faster-Diffusion decode (encoder-feature caching): run the
+        # UNet encoder only every `fast_key_every` steps.  OFF the fixed-seed
+        # parity path; validate with tools/parity_drift.py --fast-mode.
+        self.fast_key_every = fast_key_every
         # cap on candidates processed per vmapped launch: the effective UNet
         # batch is 2 * batch * chunk (CFG dual batch), which at the reference
         # SD config (15 trials x 16 images) would not fit HBM unchunked
@@ -204,6 +233,21 @@ class StochasticTextPipeline:
                        skip):
         """vmapped replay over K candidates at one skip -> latent samples."""
         apply = self._apply_fn(params)
+
+        if self.fast_key_every and self.fast_key_every > 1:
+            from cyclediffusion_tpu.samplers import ddim_decode_cached
+
+            apply_cached = lambda x, t, c, cache: self.core.apply_model_cached(
+                x, t, c, encoder_cache=cache, params=params)
+
+            def one(xT_i, eps_i, scale, key):
+                key_fn, reuse_fn = _guided_model_fn_pair(
+                    apply_cached, uc_ctx, c_ctx, scale)
+                return ddim_decode_cached(
+                    key_fn, reuse_fn, self.sched, xT_i, eps_i, key,
+                    key_every=self.fast_key_every, skip_steps=skip)
+
+            return jax.vmap(one)(xT, eps, scales, keys)
 
         def one(xT_i, eps_i, scale, key):
             fn = _guided_model_fn(apply, uc_ctx, c_ctx, scale)

@@ -10,6 +10,7 @@ round-trips between steps.
 
 from cyclediffusion_tpu.samplers.ddim import (  # noqa: F401
     ddim_decode,
+    ddim_decode_cached,
     ddim_invert,
     ddim_sample,
     ddim_refine,

@@ -172,6 +172,77 @@ def ddim_decode(
     return x_final
 
 
+def ddim_decode_cached(
+    model_fn_key,
+    model_fn_reuse,
+    sched: DDIMSchedule,
+    x_T: jnp.ndarray,
+    eps: Optional[jnp.ndarray],
+    key: Optional[jax.Array] = None,
+    *,
+    key_every: int,
+    skip_steps: int = 0,
+    temperature: float = 1.0,
+    key_steps: Optional[np.ndarray] = None,
+):
+    """``ddim_decode`` with encoder-feature caching (Faster Diffusion,
+    arXiv 2312.09608) — an opt-in fast mode OFF the fixed-seed parity path.
+
+    At key steps ``model_fn_key(x, t) -> (eps, cache)`` runs the full UNet
+    and emits its encoder features; at non-key steps
+    ``model_fn_reuse(x, t, cache) -> eps`` runs the decoder half only on the
+    cached features (with the current timestep embedding).  ``key_steps``
+    overrides the default uniform schedule ``i % key_every == 0``.  Validated
+    by the LPIPS drift harness (tools/parity_drift.py --fast-mode).
+    """
+    refine_steps = sched.num_steps - skip_steps
+    assert refine_steps >= 1
+
+    n = 0 if eps is None else int(eps.shape[0])
+    if n < refine_steps:
+        assert key is not None, "fresh-noise steps need a PRNG key"
+        fresh = jax.random.normal(
+            key, (refine_steps - n,) + x_T.shape, x_T.dtype
+        )
+        eps_full = fresh if eps is None else jnp.concatenate([eps, fresh], axis=0)
+    else:
+        eps_full = eps[:refine_steps]
+
+    if key_steps is None:
+        key_steps = np.arange(refine_steps) % max(1, int(key_every)) == 0
+    key_steps = np.asarray(key_steps, bool).copy()
+    key_steps[0] = True  # the first step must populate the cache
+    is_key = jnp.asarray(key_steps)
+
+    tables = _chain_tables(sched, refine_steps, refine_steps)
+    bsz = x_T.shape[0]
+    t0_vec = jnp.full((bsz,), tables.t[0], dtype=jnp.int32)
+    cache0 = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(model_fn_key, x_T, t0_vec)[1],
+    )
+
+    def body(carry, xs):
+        x, cache = carry
+        tb, eps_i, key_i = xs
+        t_vec = jnp.full((bsz,), tb.t, dtype=jnp.int32)
+        e_t, cache = jax.lax.cond(
+            key_i,
+            lambda x, c: model_fn_key(x, t_vec),
+            lambda x, c: (model_fn_reuse(x, t_vec, c), c),
+            x, cache,
+        )
+        x_prev, _ = steps.ddim_step(
+            x, e_t, tb.a_t, tb.a_prev, tb.sigma, tb.s1ma, eps_i, temperature
+        )
+        return (x_prev, cache), None
+
+    (x_final, _), _ = jax.lax.scan(
+        body, (x_T, cache0), (tables, eps_full, is_key)
+    )
+    return x_final
+
+
 def ddim_sample(
     model_fn: EpsModel,
     sched: DDIMSchedule,
