@@ -362,6 +362,73 @@ def drift_pixel(sample_type: str, lpips_params, T_ddpm=50, custom=50, es=10,
                         lpips_params)
 
 
+def drift_fast_mode(key_every: int, cfg_scale: float, lpips_params,
+                    T_ddpm=100, S=20, eta=0.1, latent=16):
+    """Exact chain vs the opt-in encoder-caching fast decode, same noise.
+
+    Both chains are ours (the fast mode is an approximation we introduce, so
+    the oracle is our own exact chain); SD-topology tiny UNet with randomized
+    weights (the released models' zero-init output convs are randomized too,
+    else eps would be identically zero), decoded through a random VAE decoder
+    to image space for LPIPS.
+    """
+    from cyclediffusion_tpu.models.autoencoder import AutoencoderKL, DDConfig
+    from cyclediffusion_tpu.ops.cfg import cfg_model_fn, cfg_model_fn_pair
+    from cyclediffusion_tpu.samplers import ddim_decode_cached
+
+    cfg = GDUNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=4,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=16,
+        legacy=False,
+    )
+    unet = GDUNet(cfg)
+    x = jnp.zeros((2, latent, latent, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx0 = jnp.zeros((2, 5, 16))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx0)
+    leaves, td = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(11), len(leaves))
+    params = jax.tree.unflatten(
+        td, [0.08 * jax.random.normal(k, p.shape, p.dtype)
+             for k, p in zip(keys, leaves)])
+
+    uc = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 16))
+    c = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+
+    def raw(x, t, cond):
+        return unet.apply(params, x, t, cond)
+
+    def raw_cached(x, t, cond, cache):
+        return unet.apply(params, x, t, cond, encoder_cache=cache,
+                          return_cache=True)
+
+    fn = cfg_model_fn(raw, uc, c, cfg_scale)
+    key_fn, reuse_fn = cfg_model_fn_pair(raw_cached, uc, c, cfg_scale)
+
+    betas = schedule.make_beta_schedule("linear", T_ddpm, 0.00085, 0.0120)
+    sched = schedule.DDIMSchedule.create(betas, S, eta)
+    x_T = jax.random.normal(jax.random.PRNGKey(3), (1, latent, latent, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(4), (S, 1, latent, latent, 4))
+
+    exact_lat = ddim_decode(fn, sched, x_T, eps)
+    fast_lat = ddim_decode_cached(key_fn, reuse_fn, sched, x_T, eps,
+                                  key_every=key_every)
+
+    vae = AutoencoderKL(
+        DDConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(), in_channels=3, resolution=latent * 2,
+                 z_channels=4, double_z=True),
+        embed_dim=4,
+    )
+    vparams = vae.init(jax.random.PRNGKey(5), jnp.zeros((1, latent * 2,
+                                                         latent * 2, 3)),
+                       jnp.zeros((1, latent, latent, 4)))
+    dec = lambda z: jnp.tanh(vae.apply(vparams, z, method=vae.decode))
+    return _drift_stats(np.asarray(dec(exact_lat)), np.asarray(dec(fast_lat)),
+                        lpips_params)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
@@ -380,6 +447,13 @@ def main():
     configs["pixel_ddim_eta01"] = drift_pixel("ddim", lpips_params)
     configs["pixel_ddpm_ancestral"] = drift_pixel("ddpm", lpips_params)
 
+    # opt-in fast mode: drift vs our own exact chain (not a reference-parity
+    # criterion — a user-facing speed/fidelity tradeoff, measured the same way)
+    fast_mode = {
+        f"fast_key_every{ke}_cfg{sc:g}": drift_fast_mode(ke, sc, lpips_params)
+        for ke in (2, 3) for sc in (1.0, 3.0)
+    }
+
     worst = max(c["lpips"] for c in configs.values())
     result = {
         "metric": metric,
@@ -395,12 +469,14 @@ def main():
             "tools/validate_real_ckpts.py."
         ),
         "configs": configs,
+        "fast_mode": fast_mode,
     }
     out_path = os.path.abspath(args.out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
-    print(json.dumps({k: v for k, v in result.items() if k != "configs"}))
-    for name, c in configs.items():
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("configs", "fast_mode")}))
+    for name, c in {**configs, **fast_mode}.items():
         print(f"  {name:26s} lpips={c['lpips']:.3e} max|d|={c['max_abs']:.3e} "
               f"rms={c['rms']:.3e}")
 
