@@ -139,6 +139,68 @@ def build_full_translate(platform: str):
     return (jax.jit(encode), jax.jit(decode), core.params, image, ids)
 
 
+def _measure_fast_mode(platform: str, reps: int, key_every: int = 2):
+    """Opt-in encoder-caching decode (Faster Diffusion) at the throughput
+    batch.  Off the fixed-seed parity path by construction; fidelity is
+    bounded by the LPIPS drift harness (tools/parity_drift.py ->
+    PARITY_r2.json fast_mode, bound 1e-2)."""
+    import numpy as np
+
+    from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
+    from cyclediffusion_tpu.ops import schedule
+    from cyclediffusion_tpu.ops.cfg import cfg_model_fn_pair
+    from cyclediffusion_tpu.samplers import ddim_decode_cached
+
+    if platform == "cpu":
+        cfg = GDUNetConfig(
+            in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+            attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
+            use_spatial_transformer=True, transformer_depth=1, context_dim=64,
+            legacy=False,
+        )
+        latent, ctx_dim, steps, bsz = 16, 64, 10, 1
+    else:
+        cfg = GDUNetConfig.sd_v1()
+        latent, ctx_dim, steps, bsz = 64, 768, 50, THROUGHPUT_BATCH
+
+    model = GDUNet(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((2 * bsz, latent, latent, 4), jnp.bfloat16)
+    t = jnp.zeros((2 * bsz,), jnp.int32)
+    ctx = jnp.zeros((2 * bsz, 77, ctx_dim), jnp.bfloat16)
+    params = jax.jit(lambda k: model.init(k, x, t, ctx))(jax.random.PRNGKey(0))
+
+    betas = schedule.make_beta_schedule("linear", 1000, 0.00085, 0.0120)
+    sched = schedule.DDIMSchedule.create(betas, steps, eta=0.1)
+    uc = jax.random.normal(jax.random.PRNGKey(1), (bsz, 77, ctx_dim),
+                           jnp.bfloat16)
+    c = jax.random.normal(jax.random.PRNGKey(2), (bsz, 77, ctx_dim),
+                          jnp.bfloat16)
+
+    def fast(params, x_T, eps, key):
+        def raw_cached(x, t, cond, cache):
+            out, cache = model.apply(params, x.astype(jnp.bfloat16), t, cond,
+                                     encoder_cache=cache, return_cache=True)
+            return out.astype(jnp.float32), cache
+
+        key_fn, reuse_fn = cfg_model_fn_pair(raw_cached, uc, c, 5.0)
+        return ddim_decode_cached(key_fn, reuse_fn, sched, x_T, eps, key,
+                                  key_every=key_every)
+
+    fast_jit = jax.jit(fast)
+    x_T = jax.random.normal(jax.random.PRNGKey(3), (bsz, latent, latent, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(4),
+                            (steps, bsz, latent, latent, 4))
+    key = jax.random.PRNGKey(9)
+    np.asarray(fast_jit(params, x_T, eps, key))
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fast_jit(params, x_T, eps, jax.random.fold_in(key, i)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2], bsz
+
+
 def _measure_full_translate(platform: str, reps: int):
     import numpy as np
 
@@ -207,6 +269,17 @@ def main():
         except Exception as e:  # noqa: BLE001 — never lose the JSON line
             full_err = f"{type(e).__name__}: {e}"[:200]
 
+    # opt-in fast mode (encoder caching; LPIPS-bounded, off the parity path)
+    fast_ipm = None
+    fast_err = ""
+    if os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FAST") != "1":
+        try:
+            fast_s, fast_bsz = _measure_fast_mode(
+                platform, 2 if platform == "cpu" else 3)
+            fast_ipm = 60.0 / fast_s * fast_bsz
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            fast_err = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": "SD-512 50-step translated images/min/chip; per-step UNet latency p50",
         "value": round(images_per_min, 3),
@@ -225,6 +298,9 @@ def main():
             "full_translate_images_per_min":
                 None if full_s is None else round(60.0 / full_s, 3),
             "full_translate_error": full_err,
+            "fast_mode_key_every2_images_per_min":
+                None if fast_ipm is None else round(fast_ipm, 3),
+            "fast_mode_error": fast_err,
         },
     }))
 
