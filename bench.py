@@ -240,6 +240,37 @@ def _measure(chain, params, x_T, eps, ctx, steps, reps):
     return times[len(times) // 2]
 
 
+def _measure_slope(chain, params, x_T, eps, ctx, reps):
+    """Per-chain wall time with the fixed host-sync cost removed.
+
+    This image's tunneled TPU runtime adds a constant ~30-40 ms dispatch+
+    transfer RTT per host sync (measured; a local host would not pay it per
+    chain).  Dispatch k back-to-back chains (device executes in order) and
+    sync once, for k=1 and k=3: the slope (t3-t1)/2 is the steady-state
+    per-chain device time.  Median over ``reps`` slope pairs."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(4)
+
+    def run_k_timed(k, seed):
+        t0 = time.perf_counter()
+        out = None
+        for j in range(k):
+            out = chain(params, x_T, eps, ctx,
+                        jax.random.fold_in(key, 100 * seed + j))
+        np.asarray(out)  # in-order execution: syncing the last syncs all
+        return time.perf_counter() - t0
+
+    np.asarray(chain(params, x_T, eps, ctx, key))  # compile + warmup
+    slopes = []
+    for i in range(reps):
+        t1 = run_k_timed(1, 2 * i)
+        t3 = run_k_timed(3, 2 * i + 1)
+        slopes.append((t3 - t1) / 2.0)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
 def main():
     import numpy as np
 
@@ -251,12 +282,17 @@ def main():
     per_image = _measure(chain, params, x_T, eps, ctx, steps, reps)
     per_step_ms = per_image / steps * 1000.0
 
-    # throughput: batch THROUGHPUT_BATCH images per chain
+    # throughput: batch THROUGHPUT_BATCH images per chain, steady-state
+    # (slope-timed: the tunnel's fixed per-sync RTT cancels, see
+    # _measure_slope; a plain median is the fallback on CPU)
     bsz = 1 if platform == "cpu" else THROUGHPUT_BATCH
     x_T_b = jnp.repeat(x_T, bsz, axis=0)
     eps_b = jnp.repeat(eps, bsz, axis=1)
     ctx_b = jnp.repeat(ctx, bsz, axis=0)
-    per_batch = _measure(chain, params, x_T_b, eps_b, ctx_b, steps, reps)
+    if platform == "cpu":
+        per_batch = _measure(chain, params, x_T_b, eps_b, ctx_b, steps, reps)
+    else:
+        per_batch = _measure_slope(chain, params, x_T_b, eps_b, ctx_b, reps)
     images_per_min = 60.0 / per_batch * bsz
 
     # full translate (encode + decode + VAE ends + text conditioning)

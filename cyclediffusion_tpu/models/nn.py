@@ -80,30 +80,39 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
         # clamp for tiny test configs; real checkpoints always have c >= groups
         g = min(self.num_groups, c)
         assert c % g == 0, (c, g)
         spatial = 1
-        for s in xf.shape[1:-1]:
+        for s in x.shape[1:-1]:
             spatial *= s
         denom = float(spatial * (c // g))
         # one-hot group membership (C, G); folded to a constant by XLA
         member = (jnp.arange(c)[:, None] // (c // g)
-                  == jnp.arange(g)[None, :]).astype(jnp.float32)
-        # merging leading dims leaves the lane axis untouched (layout-free)
-        flat = xf.reshape(xf.shape[0], spatial, c)
-        # E[x] per (batch, group) via MXU, broadcast back via the transpose
-        gsum = jnp.einsum("bsc,cg->bg", flat, member)
-        mean = (gsum / denom) @ member.T                    # (B, C)
-        bshape = (xf.shape[0],) + (1,) * (xf.ndim - 2) + (c,)
-        d = xf - mean.reshape(bshape)
+                  == jnp.arange(g)[None, :]).astype(dtype)
+        # Data movement stays in the input dtype (bf16 on TPU halves the HBM
+        # traffic and avoids materializing fp32 copies of the activation);
+        # the MXU stat reductions accumulate in fp32.  The subtraction
+        # x - mean is exact-ish in bf16 (mean is fp32, rounded once) and the
+        # squared-difference reduction averages ~40k per-element roundings,
+        # so the var error is O(1e-4) relative — below bf16 activation
+        # quantization.  fp32 inputs (CPU parity tests) take the same code
+        # path with every op in fp32, i.e. the original math.
+        flat = x.reshape(x.shape[0], spatial, c)
+        # E[x] per (batch, group) via MXU, broadcast back with the transpose
+        gsum = jnp.einsum("bsc,cg->bg", flat, member,
+                          preferred_element_type=jnp.float32)
+        mean = (gsum / denom) @ member.astype(jnp.float32).T  # (B, C) fp32
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        d = x - mean.reshape(bshape).astype(dtype)
         vsum = jnp.einsum(
-            "bsc,cg->bg", (d * d).reshape(xf.shape[0], spatial, c), member)
-        var = (vsum / denom) @ member.T                     # (B, C)
-        normed = d * jax.lax.rsqrt(var.reshape(bshape) + self.eps)
-        out = normed * scale + bias
-        return out.astype(dtype)
+            "bsc,cg->bg", (d * d).reshape(x.shape[0], spatial, c), member,
+            preferred_element_type=jnp.float32)
+        var = (vsum / denom) @ member.astype(jnp.float32).T   # (B, C) fp32
+        inv = jax.lax.rsqrt(var + self.eps)                   # (B, C) fp32
+        normed = d * inv.reshape(bshape).astype(dtype)
+        out = normed * scale.astype(dtype) + bias.astype(dtype)
+        return out
 
 
 def group_norm_silu(x, norm: GroupNorm):

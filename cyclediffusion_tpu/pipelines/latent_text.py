@@ -220,6 +220,22 @@ class StochasticTextPipeline:
         """
         apply = self._apply_fn(params)
 
+        if self.fast_key_every and self.fast_key_every > 1:
+            from cyclediffusion_tpu.samplers import dpm_encode_cached
+
+            apply_cached = lambda x, t, c, cache: self.core.apply_model_cached(
+                x, t, c, encoder_cache=cache, params=params)
+
+            def one_cached(scale, key):
+                key_fn, reuse_fn = _guided_model_fn_pair(
+                    apply_cached, uc_ctx, c_ctx, scale)
+                return dpm_encode_cached(
+                    key_fn, reuse_fn, self.sched, x0, key,
+                    white_box_steps=self.white_box_steps,
+                    key_every=self.fast_key_every, skip_steps=skip)
+
+            return jax.vmap(one_cached)(scales, keys)
+
         def one(scale, key):
             fn = _guided_model_fn(apply, uc_ctx, c_ctx, scale)
             return dpm_encode(

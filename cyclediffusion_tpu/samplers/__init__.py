@@ -15,6 +15,7 @@ from cyclediffusion_tpu.samplers.ddim import (  # noqa: F401
     ddim_sample,
     ddim_refine,
     dpm_encode,
+    dpm_encode_cached,
     num_recovered_eps,
 )
 from cyclediffusion_tpu.samplers.guided import energy_guided_decode  # noqa: F401

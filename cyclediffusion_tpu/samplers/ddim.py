@@ -126,6 +126,82 @@ def dpm_encode(
     return xT, eps_stack
 
 
+def dpm_encode_cached(
+    model_fn_key,
+    model_fn_reuse,
+    sched: DDIMSchedule,
+    x0: jnp.ndarray,
+    key: jax.Array,
+    *,
+    white_box_steps: int,
+    key_every: int,
+    skip_steps: int = 0,
+    temperature: float = 1.0,
+    xT_noise: Optional[jnp.ndarray] = None,
+    posterior_noises: Optional[jnp.ndarray] = None,
+    key_steps: Optional[np.ndarray] = None,
+):
+    """``dpm_encode`` with encoder-feature caching (Faster Diffusion) — the
+    opt-in fast mode's encode side, OFF the fixed-seed parity path.
+
+    The encode trajectory itself (``sample_xt_next``) never consumes the
+    model output, so caching leaves ``x_T`` and the visited ``x_t`` exact;
+    only the *recovered eps* at non-key steps are approximated (their
+    ``e_t`` comes from the decoder half running on cached encoder features
+    with the current timestep embedding).  Drift is bounded end to end by
+    the LPIPS harness (tools/parity_drift.py).  Signatures as in
+    :func:`ddim_decode_cached`.
+    """
+    refine_steps = sched.num_steps - skip_steps
+    n = num_recovered_eps(sched.num_steps, white_box_steps, skip_steps)
+    assert refine_steps >= 1 and n >= 1, (refine_steps, n)
+
+    k_xT, k_post = jax.random.split(key)
+    if xT_noise is None:
+        xT_noise = jax.random.normal(k_xT, x0.shape, x0.dtype)
+    xT = steps.q_sample(x0, sched.alphas[refine_steps - 1], xT_noise)
+
+    if posterior_noises is None:
+        posterior_noises = jax.random.normal(k_post, (n,) + x0.shape, x0.dtype)
+
+    if key_steps is None:
+        key_steps = np.arange(n) % max(1, int(key_every)) == 0
+    key_steps = np.asarray(key_steps, bool).copy()
+    key_steps[0] = True  # the first step must populate the cache
+    is_key = jnp.asarray(key_steps)
+
+    tables = _chain_tables(sched, refine_steps, n)
+    bsz = x0.shape[0]
+    t0_vec = jnp.full((bsz,), tables.t[0], dtype=jnp.int32)
+    cache0 = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(model_fn_key, xT, t0_vec)[1],
+    )
+
+    def body(carry, xs):
+        xt, cache = carry
+        tb, noise, key_i = xs
+        xt_next = steps.sample_xt_next(
+            x0, xt, tb.a_t, tb.a_prev, tb.sigma, noise, tb.index_is_zero
+        )
+        t_vec = jnp.full((bsz,), tb.t, dtype=jnp.int32)
+        e_t, cache = jax.lax.cond(
+            key_i,
+            lambda x, c: model_fn_key(x, t_vec),
+            lambda x, c: (model_fn_reuse(x, t_vec, c), c),
+            xt, cache,
+        )
+        eps = steps.compute_eps(
+            xt, xt_next, e_t, tb.a_t, tb.a_prev, tb.sigma, tb.s1ma, temperature
+        )
+        return (xt_next, cache), eps
+
+    (_, _), eps_stack = jax.lax.scan(
+        body, (xT, cache0), (tables, posterior_noises, is_key)
+    )
+    return xT, eps_stack
+
+
 def ddim_decode(
     model_fn: EpsModel,
     sched: DDIMSchedule,

@@ -8,7 +8,12 @@ import numpy as np
 from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
 from cyclediffusion_tpu.ops import schedule
 from cyclediffusion_tpu.ops.cfg import cfg_model_fn, cfg_model_fn_pair
-from cyclediffusion_tpu.samplers import ddim_decode, ddim_decode_cached
+from cyclediffusion_tpu.samplers import (
+    ddim_decode,
+    ddim_decode_cached,
+    dpm_encode,
+    dpm_encode_cached,
+)
 
 
 def _tiny_setup(cfg_scale):
@@ -78,6 +83,52 @@ def test_custom_key_schedule():
     fast = ddim_decode_cached(key_fn, reuse_fn, sched, x_T, eps,
                               jax.random.PRNGKey(0), key_every=0, key_steps=ks)
     assert np.isfinite(np.asarray(fast)).all()
+
+
+def test_encode_key_every_1_matches_exact_chain():
+    fn, key_fn, reuse_fn, sched, x_T, _ = _tiny_setup(3.0)
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    key = jax.random.PRNGKey(8)
+    xT_a, eps_a = dpm_encode(fn, sched, x0, key, white_box_steps=9)
+    xT_b, eps_b = dpm_encode_cached(key_fn, reuse_fn, sched, x0, key,
+                                    white_box_steps=9, key_every=1)
+    np.testing.assert_allclose(np.asarray(xT_b), np.asarray(xT_a),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(eps_b), np.asarray(eps_a),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encode_cached_trajectory_exact_eps_bounded():
+    """Caching never changes x_T (the trajectory ignores e_t); only the
+    recovered eps at non-key steps drift."""
+    fn, key_fn, reuse_fn, sched, x_T, _ = _tiny_setup(1.0)
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 4))
+    key = jax.random.PRNGKey(8)
+    xT_a, eps_a = dpm_encode(fn, sched, x0, key, white_box_steps=9)
+    xT_b, eps_b = dpm_encode_cached(key_fn, reuse_fn, sched, x0, key,
+                                    white_box_steps=9, key_every=3)
+    np.testing.assert_allclose(np.asarray(xT_b), np.asarray(xT_a),
+                               rtol=1e-6, atol=1e-6)
+    rel = float(jnp.linalg.norm(eps_b - eps_a) / jnp.linalg.norm(eps_a))
+    assert 0.0 < rel < 0.5, rel
+
+
+def test_cached_encode_decode_roundtrip_identity():
+    """dpm_encode_cached ∘ ddim_decode_cached with the SAME key schedule is
+    still an exact identity: both chains visit the same x_t, so key steps
+    build identical caches and non-key steps consume identical e_t — the
+    compute_eps/ddim_step inversion then cancels exactly, like the exact
+    pair (the paper's central invariant, reference ddim.py:395-501)."""
+    for ke in (2, 3):
+        fn, key_fn, reuse_fn, sched, x_T, _ = _tiny_setup(1.0)
+        x0 = jax.random.normal(jax.random.PRNGKey(9), (1, 8, 8, 4))
+        key = jax.random.PRNGKey(10)
+        xT, eps = dpm_encode_cached(key_fn, reuse_fn, sched, x0, key,
+                                    white_box_steps=9, key_every=ke)
+        recon = ddim_decode_cached(key_fn, reuse_fn, sched, xT, eps,
+                                   jax.random.PRNGKey(0), key_every=ke)
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(x0),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_unet_cache_roundtrip_identity():

@@ -363,18 +363,23 @@ def drift_pixel(sample_type: str, lpips_params, T_ddpm=50, custom=50, es=10,
 
 
 def drift_fast_mode(key_every: int, cfg_scale: float, lpips_params,
-                    T_ddpm=100, S=20, eta=0.1, latent=16):
-    """Exact chain vs the opt-in encoder-caching fast decode, same noise.
+                    T_ddpm=100, S=20, eta=0.1, latent=16, mode="decode"):
+    """Exact chain vs the opt-in encoder-caching fast mode, same noise.
 
     Both chains are ours (the fast mode is an approximation we introduce, so
     the oracle is our own exact chain); SD-topology tiny UNet with randomized
     weights (the released models' zero-init output convs are randomized too,
     else eps would be identically zero), decoded through a random VAE decoder
     to image space for LPIPS.
+
+    ``mode="decode"`` compares the replay chain only (stored random eps);
+    ``mode="translate"`` runs the full CycleDiffusion translate — DPM-Encode
+    with the source condition (scale 1) then replay with the target condition
+    at ``cfg_scale`` — with BOTH chains cached vs both exact.
     """
     from cyclediffusion_tpu.models.autoencoder import AutoencoderKL, DDConfig
     from cyclediffusion_tpu.ops.cfg import cfg_model_fn, cfg_model_fn_pair
-    from cyclediffusion_tpu.samplers import ddim_decode_cached
+    from cyclediffusion_tpu.samplers import ddim_decode_cached, dpm_encode_cached
 
     cfg = GDUNetConfig(
         in_channels=4, model_channels=32, out_channels=4, num_res_blocks=2,
@@ -403,17 +408,36 @@ def drift_fast_mode(key_every: int, cfg_scale: float, lpips_params,
         return unet.apply(params, x, t, cond, encoder_cache=cache,
                           return_cache=True)
 
-    fn = cfg_model_fn(raw, uc, c, cfg_scale)
-    key_fn, reuse_fn = cfg_model_fn_pair(raw_cached, uc, c, cfg_scale)
-
     betas = schedule.make_beta_schedule("linear", T_ddpm, 0.00085, 0.0120)
     sched = schedule.DDIMSchedule.create(betas, S, eta)
-    x_T = jax.random.normal(jax.random.PRNGKey(3), (1, latent, latent, 4))
-    eps = jax.random.normal(jax.random.PRNGKey(4), (S, 1, latent, latent, 4))
 
-    exact_lat = ddim_decode(fn, sched, x_T, eps)
-    fast_lat = ddim_decode_cached(key_fn, reuse_fn, sched, x_T, eps,
-                                  key_every=key_every)
+    if mode == "translate":
+        c_src = jax.random.normal(jax.random.PRNGKey(12), (1, 5, 16))
+        enc_fn = cfg_model_fn(raw, uc, c_src, 1.0)
+        enc_key_fn, enc_reuse_fn = cfg_model_fn_pair(raw_cached, uc, c_src, 1.0)
+        dec_fn = cfg_model_fn(raw, uc, c, cfg_scale)
+        dec_key_fn, dec_reuse_fn = cfg_model_fn_pair(raw_cached, uc, c,
+                                                     cfg_scale)
+        x0 = 0.5 * jax.random.normal(jax.random.PRNGKey(13),
+                                     (1, latent, latent, 4))
+        key = jax.random.PRNGKey(14)
+        xT_e, eps_e = dpm_encode(enc_fn, sched, x0, key,
+                                 white_box_steps=S + 1)
+        exact_lat = ddim_decode(dec_fn, sched, xT_e, eps_e)
+        xT_f, eps_f = dpm_encode_cached(enc_key_fn, enc_reuse_fn, sched, x0,
+                                        key, white_box_steps=S + 1,
+                                        key_every=key_every)
+        fast_lat = ddim_decode_cached(dec_key_fn, dec_reuse_fn, sched, xT_f,
+                                      eps_f, key_every=key_every)
+    else:
+        fn = cfg_model_fn(raw, uc, c, cfg_scale)
+        key_fn, reuse_fn = cfg_model_fn_pair(raw_cached, uc, c, cfg_scale)
+        x_T = jax.random.normal(jax.random.PRNGKey(3), (1, latent, latent, 4))
+        eps = jax.random.normal(jax.random.PRNGKey(4),
+                                (S, 1, latent, latent, 4))
+        exact_lat = ddim_decode(fn, sched, x_T, eps)
+        fast_lat = ddim_decode_cached(key_fn, reuse_fn, sched, x_T, eps,
+                                      key_every=key_every)
 
     vae = AutoencoderKL(
         DDConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
@@ -453,6 +477,11 @@ def main():
         f"fast_key_every{ke}_cfg{sc:g}": drift_fast_mode(ke, sc, lpips_params)
         for ke in (2, 3) for sc in (1.0, 3.0)
     }
+    fast_mode.update({
+        f"fast_translate_key_every{ke}_cfg3": drift_fast_mode(
+            ke, 3.0, lpips_params, mode="translate")
+        for ke in (2, 3)
+    })
 
     worst = max(c["lpips"] for c in configs.values())
     result = {
