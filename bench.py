@@ -274,6 +274,9 @@ def _measure_slope(chain, params, x_T, eps, ctx, reps):
 def main():
     import numpy as np
 
+    from cyclediffusion_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.default_backend()
     chain, params, x_T, eps, ctx, steps, config_name = build(platform)
     reps = 3 if platform == "cpu" else 5

@@ -88,7 +88,9 @@ def main(argv=None):
         get_model,
         get_visualizer,
     )
+    from cyclediffusion_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     training_args = parse_training_args(argv)
     set_seed(training_args.seed)
     args = get_config(training_args.cfg)

@@ -19,6 +19,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from cyclediffusion_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 
 N1, N2 = 20, 220
