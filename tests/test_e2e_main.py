@@ -47,3 +47,18 @@ def test_tiny_text_translation_e2e(tmp_path):
     assert os.path.exists(os.path.join(out, "eval_results.csv"))
     results = json.load(open(os.path.join(out, "all_results.json")))
     assert "eval_translate/ssim" in results
+
+
+@pytest.mark.slow
+def test_tiny_text_translation_fast_mode_e2e(tmp_path):
+    """fast_key_every flows cfg -> factory -> cached encode/decode chains."""
+    out = str(tmp_path / "text_fast")
+    metrics = cli.main([
+        "--cfg", "experiments/tiny_text_translation_fast.cfg",
+        "--output_dir", out,
+        "--seed", "42",
+        "--do_eval",
+        "--per_device_eval_batch_size", "2",
+    ])
+    assert "eval_translate/psnr" in metrics
+    assert all(map(lambda v: v == v, metrics.values()))  # no NaNs
