@@ -105,6 +105,7 @@ def _build_latent(kwargs) -> LatentDiffStochasticPipeline:
         unconditional_guidance_scale=kwargs.pop(
             "unconditional_guidance_scale", None
         ),
+        fast_key_every=kwargs.pop("fast_key_every", None),
     )
     assert not kwargs, f"unused gan kwargs: {kwargs}"
     if model_type.startswith("tiny"):

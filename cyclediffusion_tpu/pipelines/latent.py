@@ -35,7 +35,13 @@ from cyclediffusion_tpu.models.text_encoders import (
 )
 from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
 from cyclediffusion_tpu.ops import schedule
-from cyclediffusion_tpu.samplers import ddim_decode, ddim_refine, dpm_encode
+from cyclediffusion_tpu.samplers import (
+    ddim_decode,
+    ddim_decode_cached,
+    ddim_refine,
+    dpm_encode,
+    dpm_encode_cached,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -340,6 +346,7 @@ class LatentDiffStochasticPipeline:
         refine_steps: int = 0,
         enforce_class_input: Optional[bool] = None,
         unconditional_guidance_scale: Optional[float] = None,
+        fast_key_every: Optional[int] = None,
     ):
         if enforce_class_input:
             raise NotImplementedError(
@@ -352,6 +359,9 @@ class LatentDiffStochasticPipeline:
         self.eta = eta
         self.white_box_steps = white_box_steps
         self.refine_steps = refine_steps
+        # opt-in encoder-caching fast mode (Faster Diffusion) on both
+        # chains; OFF the fixed-seed parity path (see PARITY_r2.json)
+        self.fast_key_every = fast_key_every
         self.sched = core.make_ddim_schedule(custom_steps, eta)
         assert white_box_steps <= custom_steps + 1
 
@@ -361,6 +371,17 @@ class LatentDiffStochasticPipeline:
 
         self._encode_jit = jax.jit(self._encode_impl)
         self._generate_jit = jax.jit(self._generate_impl)
+
+    def _cached_fns(self, params):
+        """(key_fn, reuse_fn) for the unconditional cached UNet call."""
+        def key_fn(x, t):
+            return self.core.apply_model_cached(x, t, None, params=params)
+
+        def reuse_fn(x, t, cache):
+            return self.core.apply_model_cached(
+                x, t, None, encoder_cache=cache, params=params)[0]
+
+        return key_fn, reuse_fn
 
     def _encode_impl(self, params, image01, key):
         spec = self.core.spec
@@ -376,10 +397,18 @@ class LatentDiffStochasticPipeline:
             x0 = self.core.encode_first_stage(image, noise, params)
         else:
             x0 = self.core.encode_first_stage(image, params=params)
-        xT, eps = dpm_encode(
-            model_fn, self.sched, x0, k_chain,
-            white_box_steps=self.white_box_steps,
-        )
+        if self.fast_key_every and self.fast_key_every > 1:
+            key_fn, reuse_fn = self._cached_fns(params)
+            xT, eps = dpm_encode_cached(
+                key_fn, reuse_fn, self.sched, x0, k_chain,
+                white_box_steps=self.white_box_steps,
+                key_every=self.fast_key_every,
+            )
+        else:
+            xT, eps = dpm_encode(
+                model_fn, self.sched, x0, k_chain,
+                white_box_steps=self.white_box_steps,
+            )
         b = x0.shape[0]
         z = jnp.concatenate([xT[None], eps], axis=0)
         return jnp.moveaxis(z, 0, 1).reshape(b, -1)
@@ -393,7 +422,14 @@ class LatentDiffStochasticPipeline:
         xT = z[:, 0]
         eps = jnp.moveaxis(z[:, 1:], 1, 0)
         k_decode, k_refine = jax.random.split(key)
-        sample = ddim_decode(model_fn, self.sched, xT, eps, k_decode)
+        if self.fast_key_every and self.fast_key_every > 1:
+            key_fn, reuse_fn = self._cached_fns(params)
+            sample = ddim_decode_cached(
+                key_fn, reuse_fn, self.sched, xT, eps, k_decode,
+                key_every=self.fast_key_every,
+            )
+        else:
+            sample = ddim_decode(model_fn, self.sched, xT, eps, k_decode)
         if self.refine_steps > 0:
             sample = ddim_refine(
                 model_fn, self.sched, sample, k_refine,

@@ -71,6 +71,26 @@ class TestUnconditionalLatent:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    rtol=1e-2, atol=1e-3)
 
+    def test_fast_mode_roundtrip_matches(self, uncond_core):
+        """fast_key_every on the unconditional pipeline: both chains cached
+        with the same key schedule keeps the encode/generate roundtrip at
+        the exact pipeline's output (caches coincide step for step)."""
+        S = 8
+        img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        k = jax.random.PRNGKey(2)
+        exact = LatentDiffStochasticPipeline(
+            uncond_core, custom_steps=S, eta=1.0, white_box_steps=S + 1
+        )
+        fast = LatentDiffStochasticPipeline(
+            uncond_core, custom_steps=S, eta=1.0, white_box_steps=S + 1,
+            fast_key_every=2,
+        )
+        out_exact = exact.generate(exact.encode(img, k), jax.random.PRNGKey(3))
+        out_fast = fast.generate(fast.encode(img, k), jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(out_fast),
+                                   np.asarray(out_exact),
+                                   rtol=5e-3, atol=5e-3)
+
     def test_short_white_box_and_refine(self, uncond_core):
         pipe = LatentDiffStochasticPipeline(
             uncond_core, custom_steps=8, eta=1.0, white_box_steps=5,
