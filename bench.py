@@ -201,6 +201,23 @@ def _measure_fast_mode(platform: str, reps: int, key_every: int = 2):
     return times[len(times) // 2], bsz
 
 
+def _measure_full_translate_b4(reps: int, batch: int = 4):
+    """Batch-4 full translate via tools/translate_probe.py's builder — the
+    SAME traced programs as the probe, so the persistent compilation cache
+    replays them (tpu only)."""
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools")
+    if tools_dir not in sys.path:
+        sys.path.append(tools_dir)
+    from translate_probe import build, timeit
+
+    (enc_e, dec_e), _, params, image, ids = build(batch)
+    t = timeit(jax.jit(enc_e), jax.jit(dec_e), params, image, ids, reps=reps)
+    return t / batch
+
+
 def _measure_full_translate(platform: str, reps: int):
     import numpy as np
 
@@ -319,6 +336,16 @@ def main():
         except Exception as e:  # noqa: BLE001 — never lose the JSON line
             fast_err = f"{type(e).__name__}: {e}"[:200]
 
+    # full translate at the throughput batch (cache-warmed programs)
+    full_b4_s = None
+    full_b4_err = ""
+    if (platform == "tpu"
+            and os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FULL") != "1"):
+        try:
+            full_b4_s = _measure_full_translate_b4(3)
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            full_b4_err = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": "SD-512 50-step translated images/min/chip; per-step UNet latency p50",
         "value": round(images_per_min, 3),
@@ -340,6 +367,11 @@ def main():
             "fast_mode_key_every2_images_per_min":
                 None if fast_ipm is None else round(fast_ipm, 3),
             "fast_mode_error": fast_err,
+            "full_translate_s_per_image_batch4":
+                None if full_b4_s is None else round(full_b4_s, 4),
+            "full_translate_batch4_images_per_min":
+                None if full_b4_s is None else round(60.0 / full_b4_s, 3),
+            "full_translate_batch4_error": full_b4_err,
         },
     }))
 

@@ -33,6 +33,11 @@ def enable_compilation_cache(min_compile_secs: float = 5.0) -> str | None:
     path = os.path.expanduser(
         os.environ.get("CYCLEDIFFUSION_COMPILE_CACHE", "~/.jax_cache"))
     try:
+        # TPU-only: that's where compiles cost minutes; XLA:CPU cache
+        # entries are AOT machine code that can mismatch the host
+        # (observed "+prefer-no-gather not supported ... SIGILL" warning)
+        if jax.default_backend() != "tpu":
+            return None
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -12,6 +12,7 @@ def test_cache_dir_configured(tmp_path, monkeypatch):
     old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     monkeypatch.setenv("CYCLEDIFFUSION_COMPILE_CACHE", str(tmp_path / "cc"))
     monkeypatch.delenv("CYCLEDIFFUSION_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     try:
         path = enable_compilation_cache(min_compile_secs=123.0)
         assert path == str(tmp_path / "cc")
@@ -28,4 +29,12 @@ def test_cache_dir_configured(tmp_path, monkeypatch):
 
 def test_cache_env_opt_out(monkeypatch):
     monkeypatch.setenv("CYCLEDIFFUSION_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache() is None
+
+
+def test_cache_cpu_backend_noop(monkeypatch):
+    """XLA:CPU AOT cache entries can mismatch the host machine — the helper
+    only engages on TPU."""
+    monkeypatch.delenv("CYCLEDIFFUSION_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert enable_compilation_cache() is None
