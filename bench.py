@@ -81,13 +81,13 @@ THROUGHPUT_BATCH = 4  # measured optimum on v5e (ms/image-step minimum)
 
 
 def build_full_translate(platform: str):
-    """Full CycleDiffusion translate: VAE encode + CLIP text conditioning +
-    50-step DPM-Encoder + 50-step CFG eps-replay + VAE decode, batch 1.
+    """Tiny-spec full translate for the CPU smoke path (batch 1).
 
     The workload's unit of value (reference hot loops SURVEY §3.3/§3.4,
     stable_diffusion_stochastic_text_wrapper.py:142-216): two jitted
-    programs (encode / decode), compiled serially to respect the
-    remote-compile tunnel.
+    programs (encode / decode).  On TPU, _measure_full_translate reuses
+    tools/translate_probe.py's SD-scale builder instead (same traced
+    programs as the probe -> shared compile cache).
     """
     from cyclediffusion_tpu.ops.cfg import cfg_model_fn
     from cyclediffusion_tpu.pipelines.latent import (
@@ -96,10 +96,8 @@ def build_full_translate(platform: str):
     )
     from cyclediffusion_tpu.samplers import ddim_decode, dpm_encode
 
-    if platform == "cpu":
-        spec, steps, res = LatentCoreSpec.tiny(cond_kind="clip"), 6, 32
-    else:
-        spec, steps, res = LatentCoreSpec.sd_v1(), 50, 512
+    assert platform == "cpu", "TPU path routes through tools/translate_probe"
+    spec, steps, res = LatentCoreSpec.tiny(cond_kind="clip"), 6, 32
 
     core = LatentDiffusionCore.random_init(
         spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16
@@ -139,6 +137,21 @@ def build_full_translate(platform: str):
     return (jax.jit(encode), jax.jit(decode), core.params, image, ids)
 
 
+def _probe_modules():
+    """Import the tools/ probe builders: bench's TPU measurements reuse the
+    probes' EXACT program constructions so the persistent compilation cache
+    is shared between bench runs and probe runs (and fixes land once)."""
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools")
+    if tools_dir not in sys.path:
+        sys.path.append(tools_dir)
+    import fast_probe
+    import translate_probe
+    return fast_probe, translate_probe
+
+
 def _measure_fast_mode(platform: str, reps: int, key_every: int = 2):
     """Opt-in encoder-caching decode (Faster Diffusion) at the throughput
     batch.  Off the fixed-seed parity path by construction; fidelity is
@@ -146,22 +159,27 @@ def _measure_fast_mode(platform: str, reps: int, key_every: int = 2):
     PARITY_r2.json fast_mode, bound 1e-2)."""
     import numpy as np
 
+    if platform != "cpu":
+        import functools
+
+        fast_probe, _ = _probe_modules()
+        exact, fast, params, x_T, eps = fast_probe.build(THROUGHPUT_BATCH)
+        g = jax.jit(functools.partial(fast, key_every))
+        t = fast_probe.timeit(g, params, x_T, eps, reps=reps)
+        return t, THROUGHPUT_BATCH
+
     from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
     from cyclediffusion_tpu.ops import schedule
     from cyclediffusion_tpu.ops.cfg import cfg_model_fn_pair
     from cyclediffusion_tpu.samplers import ddim_decode_cached
 
-    if platform == "cpu":
-        cfg = GDUNetConfig(
-            in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
-            attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
-            use_spatial_transformer=True, transformer_depth=1, context_dim=64,
-            legacy=False,
-        )
-        latent, ctx_dim, steps, bsz = 16, 64, 10, 1
-    else:
-        cfg = GDUNetConfig.sd_v1()
-        latent, ctx_dim, steps, bsz = 64, 768, 50, THROUGHPUT_BATCH
+    cfg = GDUNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2, 1), channel_mult=(1, 2), num_heads=4,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=64,
+        legacy=False,
+    )
+    latent, ctx_dim, steps, bsz = 16, 64, 10, 1
 
     model = GDUNet(cfg, dtype=jnp.bfloat16)
     x = jnp.zeros((2 * bsz, latent, latent, 4), jnp.bfloat16)
@@ -220,6 +238,12 @@ def _measure_full_translate_b4(reps: int, batch: int = 4):
 
 def _measure_full_translate(platform: str, reps: int):
     import numpy as np
+
+    if platform != "cpu":
+        _, translate_probe = _probe_modules()
+        (enc_e, dec_e), _, params, image, ids = translate_probe.build(1)
+        return translate_probe.timeit(
+            jax.jit(enc_e), jax.jit(dec_e), params, image, ids, reps=reps)
 
     encode, decode, params, image, ids = build_full_translate(platform)
     key = jax.random.PRNGKey(5)

@@ -96,7 +96,12 @@ def _clip_features(images: np.ndarray) -> Optional[np.ndarray]:
 
 
 def _resize_299_bicubic(images: np.ndarray) -> np.ndarray:
-    """clean-fid's resize: PIL bicubic to 299x299 on [0,255] floats."""
+    """clean-fid's resize: PIL bicubic to 299x299 on FLOAT data.
+
+    clean-fid's "clean" mode resizes float32 PIL images (mode 'F', one
+    channel at a time) precisely to avoid a uint8 round-trip — quantizing
+    first shifts pool3 features systematically (clean-fid README; their
+    resizer build_resizer('clean')/make_resizer PIL-float path)."""
     if images.shape[1:3] == (299, 299):
         return images
     try:
@@ -104,12 +109,14 @@ def _resize_299_bicubic(images: np.ndarray) -> np.ndarray:
 
         out = np.empty((images.shape[0], 299, 299, 3), np.float32)
         for i, img in enumerate(images):
-            arr = np.clip(img * 255.0, 0, 255).astype(np.uint8)
-            out[i] = np.asarray(
-                Image.fromarray(arr).resize((299, 299), Image.BICUBIC),
-                np.float32,
-            ) / 255.0
-        return out
+            arr = np.asarray(img, np.float32) * 255.0
+            for ch in range(3):
+                out[i, :, :, ch] = np.asarray(
+                    Image.fromarray(arr[:, :, ch], mode="F").resize(
+                        (299, 299), Image.BICUBIC),
+                    np.float32,
+                )
+        return out / 255.0
     except ImportError:
         import jax
         import jax.numpy as jnp
@@ -136,7 +143,13 @@ def _inception_features(images: np.ndarray) -> Optional[np.ndarray]:
         from cyclediffusion_tpu.models.inception import inception_pool3_features
 
         params = convert_inception(load_torch_state_dict(path))
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — fall back to torchscript, loudly
+        import warnings
+
+        warnings.warn(
+            f"native Inception conversion failed ({type(e).__name__}: {e}); "
+            f"trying torch.jit.load({path!r}) as a torchscript archive"
+        )
         params = None
 
     if params is not None:

@@ -99,16 +99,22 @@ class GroupNorm(nn.Module):
         # quantization.  fp32 inputs (CPU parity tests) take the same code
         # path with every op in fp32, i.e. the original math.
         flat = x.reshape(x.shape[0], spatial, c)
-        # E[x] per (batch, group) via MXU, broadcast back with the transpose
+        # E[x] per (batch, group) via MXU, broadcast back with the transpose.
+        # precision=HIGHEST so fp32 inputs stay exact on TPU (the default
+        # precision truncates fp32 matmul operands to bf16); for bf16 inputs
+        # it is a no-op, and these stat matmuls are microseconds either way.
+        highest = jax.lax.Precision.HIGHEST
         gsum = jnp.einsum("bsc,cg->bg", flat, member,
-                          preferred_element_type=jnp.float32)
-        mean = (gsum / denom) @ member.astype(jnp.float32).T  # (B, C) fp32
+                          preferred_element_type=jnp.float32,
+                          precision=highest)
+        memberT = member.astype(jnp.float32).T
+        mean = jnp.matmul(gsum / denom, memberT, precision=highest)  # (B, C)
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
         d = x - mean.reshape(bshape).astype(dtype)
         vsum = jnp.einsum(
             "bsc,cg->bg", (d * d).reshape(x.shape[0], spatial, c), member,
-            preferred_element_type=jnp.float32)
-        var = (vsum / denom) @ member.astype(jnp.float32).T   # (B, C) fp32
+            preferred_element_type=jnp.float32, precision=highest)
+        var = jnp.matmul(vsum / denom, memberT, precision=highest)   # (B, C)
         inv = jax.lax.rsqrt(var + self.eps)                   # (B, C) fp32
         normed = d * inv.reshape(bshape).astype(dtype)
         out = normed * scale.astype(dtype) + bias.astype(dtype)

@@ -213,64 +213,112 @@ class StochasticTextPipeline:
     def _apply_fn(self, params):
         return lambda x, t, c: self.core.apply_model(x, t, c, params)
 
+    @staticmethod
+    def _fold(a, K):
+        """Tile a (B, ...) operand K times along a folded (K*B, ...) axis."""
+        return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
+
     def _encode_chains(self, params, x0, c_ctx, uc_ctx, scales, keys, *, skip):
-        """vmapped DPM-Encoder over K candidates at one skip value.
+        """DPM-Encoder over K candidates at one skip value, candidates FOLDED
+        into the batch axis (K*B).
+
+        A big batched UNet program is the natural TPU shape — and a vmapped
+        ``pallas_call`` lifts the candidate axis into the flash kernel's
+        blocks, doubling its VMEM footprint past the 16MB budget at the
+        reference ensemble size (observed compile OOM).  Per-candidate PRNG
+        streams are preserved bit-exactly by drawing each candidate's chain
+        noises with the same key math the samplers use and injecting them
+        through the noise seam.
 
         scales: (K,), keys: (K,) -> (xT: (K,B,h,w,c), eps: (K,n,B,h,w,c)).
         """
         apply = self._apply_fn(params)
+        K = scales.shape[0]
+        B = x0.shape[0]
+        n = num_recovered_eps(self.sched.num_steps, self.white_box_steps, skip)
+
+        def draw(key):  # exactly dpm_encode's internal stream, per candidate
+            k_xT, k_post = jax.random.split(key)
+            xT_noise = jax.random.normal(k_xT, x0.shape, x0.dtype)
+            post = jax.random.normal(k_post, (n,) + x0.shape, x0.dtype)
+            return xT_noise, post
+
+        xT_noise, post = jax.vmap(draw)(keys)       # (K,B,...), (K,n,B,...)
+        xT_noise = xT_noise.reshape((K * B,) + x0.shape[1:])
+        post = jnp.moveaxis(post, 0, 1).reshape((n, K * B) + x0.shape[1:])
+
+        x0_f = self._fold(x0, K)
+        uc_f = self._fold(uc_ctx, K)
+        c_f = self._fold(c_ctx, K)
+        scale_f = jnp.repeat(scales, B).reshape((K * B,) + (1,) * (x0.ndim - 1))
 
         if self.fast_key_every and self.fast_key_every > 1:
             from cyclediffusion_tpu.samplers import dpm_encode_cached
 
             apply_cached = lambda x, t, c, cache: self.core.apply_model_cached(
                 x, t, c, encoder_cache=cache, params=params)
-
-            def one_cached(scale, key):
-                key_fn, reuse_fn = _guided_model_fn_pair(
-                    apply_cached, uc_ctx, c_ctx, scale)
-                return dpm_encode_cached(
-                    key_fn, reuse_fn, self.sched, x0, key,
-                    white_box_steps=self.white_box_steps,
-                    key_every=self.fast_key_every, skip_steps=skip)
-
-            return jax.vmap(one_cached)(scales, keys)
-
-        def one(scale, key):
-            fn = _guided_model_fn(apply, uc_ctx, c_ctx, scale)
-            return dpm_encode(
-                fn, self.sched, x0, key,
+            key_fn, reuse_fn = _guided_model_fn_pair(
+                apply_cached, uc_f, c_f, scale_f)
+            xT, eps = dpm_encode_cached(
+                key_fn, reuse_fn, self.sched, x0_f, keys[0],
+                white_box_steps=self.white_box_steps,
+                key_every=self.fast_key_every, skip_steps=skip,
+                xT_noise=xT_noise, posterior_noises=post)
+        else:
+            fn = _guided_model_fn(apply, uc_f, c_f, scale_f)
+            xT, eps = dpm_encode(
+                fn, self.sched, x0_f, keys[0],
                 white_box_steps=self.white_box_steps, skip_steps=skip,
-            )
+                xT_noise=xT_noise, posterior_noises=post)
 
-        return jax.vmap(one)(scales, keys)
+        xT = xT.reshape((K, B) + xT.shape[1:])
+        eps = jnp.moveaxis(
+            eps.reshape((n, K, B) + eps.shape[2:]), 0, 1)   # (K,n,B,...)
+        return xT, eps
 
     def _decode_chains(self, params, xT, eps, c_ctx, uc_ctx, scales, keys, *,
                        skip):
-        """vmapped replay over K candidates at one skip -> latent samples."""
+        """Replay over K candidates at one skip, candidates folded into the
+        batch axis (see _encode_chains) -> latent samples (K, B, h, w, c)."""
         apply = self._apply_fn(params)
+        K, B = xT.shape[0], xT.shape[1]
+        n = eps.shape[1]
+        refine = self.sched.num_steps - skip
+
+        xT_f = xT.reshape((K * B,) + xT.shape[2:])
+        eps_f = jnp.moveaxis(eps, 1, 0).reshape((n, K * B) + eps.shape[3:])
+        if n < refine:
+            # match ddim_decode's per-candidate fresh-noise stream exactly
+            def draw(key):
+                return jax.random.normal(
+                    key, (refine - n,) + xT.shape[1:], xT_f.dtype)
+
+            fresh = jax.vmap(draw)(keys)            # (K, refine-n, B, ...)
+            fresh = jnp.moveaxis(fresh, 0, 1).reshape(
+                (refine - n, K * B) + xT.shape[2:])
+            eps_f = jnp.concatenate([eps_f, fresh], axis=0)
+
+        uc_f = self._fold(uc_ctx, K)
+        c_f = self._fold(c_ctx, K)
+        scale_f = jnp.repeat(scales, B).reshape(
+            (K * B,) + (1,) * (xT_f.ndim - 1))
 
         if self.fast_key_every and self.fast_key_every > 1:
             from cyclediffusion_tpu.samplers import ddim_decode_cached
 
             apply_cached = lambda x, t, c, cache: self.core.apply_model_cached(
                 x, t, c, encoder_cache=cache, params=params)
+            key_fn, reuse_fn = _guided_model_fn_pair(
+                apply_cached, uc_f, c_f, scale_f)
+            sample = ddim_decode_cached(
+                key_fn, reuse_fn, self.sched, xT_f, eps_f, None,
+                key_every=self.fast_key_every, skip_steps=skip)
+        else:
+            fn = _guided_model_fn(apply, uc_f, c_f, scale_f)
+            sample = ddim_decode(fn, self.sched, xT_f, eps_f, None,
+                                 skip_steps=skip)
 
-            def one(xT_i, eps_i, scale, key):
-                key_fn, reuse_fn = _guided_model_fn_pair(
-                    apply_cached, uc_ctx, c_ctx, scale)
-                return ddim_decode_cached(
-                    key_fn, reuse_fn, self.sched, xT_i, eps_i, key,
-                    key_every=self.fast_key_every, skip_steps=skip)
-
-            return jax.vmap(one)(xT, eps, scales, keys)
-
-        def one(xT_i, eps_i, scale, key):
-            fn = _guided_model_fn(apply, uc_ctx, c_ctx, scale)
-            return ddim_decode(fn, self.sched, xT_i, eps_i, key,
-                               skip_steps=skip)
-
-        return jax.vmap(one)(xT, eps, scales, keys)
+        return sample.reshape((K, B) + sample.shape[1:])
 
     # ---- reference protocol ---------------------------------------------- #
 
@@ -342,6 +390,10 @@ class StochasticTextPipeline:
         imgs: List[Optional[jnp.ndarray]] = [None] * (
             len(z_ensemble) * len(self.dec_scales)
         )
+        # replicate once per call (encode() does the same before its loop);
+        # re-replicating per skip would re-broadcast the full SD param tree
+        params, c_ctx_r, uc_ctx_r = self._replicated(
+            self.core.params, c_ctx, uc_ctx)
         for skip in sorted(set(self.skip_steps)):
             idxs = [
                 i for i in range(len(z_ensemble))
@@ -355,8 +407,6 @@ class StochasticTextPipeline:
                 for d, ds in enumerate(self.dec_scales):
                     work.append((xT, eps, ds, i * len(self.dec_scales) + d))
             chunk = self.candidate_chunk or len(work)
-            params, c_ctx_r, uc_ctx_r = self._replicated(
-                self.core.params, c_ctx, uc_ctx)
             for c0 in range(0, len(work), chunk):
                 sub = work[c0 : c0 + chunk]
                 n_real = len(sub)

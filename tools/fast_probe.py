@@ -27,7 +27,7 @@ BATCH = 4
 STEPS = 50
 
 
-def build():
+def build(batch: int = BATCH):
     from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
     from cyclediffusion_tpu.ops import schedule
     from cyclediffusion_tpu.ops.cfg import cfg_model_fn, cfg_model_fn_pair
@@ -35,7 +35,7 @@ def build():
 
     cfg = GDUNetConfig.sd_v1()
     model = GDUNet(cfg, dtype=jnp.bfloat16)
-    b = BATCH
+    b = batch
     x = jnp.zeros((2 * b, 64, 64, 4), jnp.bfloat16)
     t = jnp.zeros((2 * b,), jnp.int32)
     ctx = jnp.zeros((2 * b, 77, 768), jnp.bfloat16)
