@@ -45,7 +45,13 @@ def cfg_model_fn(model_fn: ModelFn, uncond, cond, scale: float) -> Callable:
 
 
 def cfg_model_fn_pair(model_fn, uncond, cond, scale: float):
-    """CFG wrappers for the encoder-caching fast mode.
+    """CFG wrappers for the encoder-caching fast mode (STATIC scale — the
+    scale==0/1 branches compile to single-batch programs).  Sibling
+    implementations that must track any change to the combine or cache
+    threading: ``pipelines/latent_text.py::_guided_model_fn_pair`` (traced
+    per-candidate scale, always dual batch) and
+    ``pipelines/latent.py::LatentDiffStochasticPipeline._cached_fns``
+    (unconditional).
 
     ``model_fn(x, t, cond, encoder_cache) -> (eps, cache)`` (the UNet called
     with ``return_cache=True``).  Returns ``(key_fn, reuse_fn)`` for

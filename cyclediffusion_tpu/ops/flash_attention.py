@@ -205,6 +205,15 @@ def flash_attention_packed(q, k, v, num_heads: int, sm_scale: float, *,
     assert hd % num_heads == 0
     d = hd // num_heads
 
+    # Mosaic's scoped-VMEM stack estimate grows (weakly) with the leading
+    # grid extent: at hd=320 the (512, 2048) blocks fit at b<=8 (~15.x MB of
+    # the 16MB budget) but overflow at b=30 (16.8MB, compile OOM).  Shrink
+    # the K block for big batches — measured 3.33 -> 3.79 ms/call at b=8
+    # equivalent shapes, a fair trade for compiling at all; b<=8 (the bench
+    # and default eval paths) keeps the tuned block and its cached programs.
+    if b > 8 and block_k > 1024:
+        block_k = 1024
+
     block_q = min(block_q, max(8, tq))
     block_k = min(block_k, ((tk + 127) // 128) * 128)
     tq_pad = ((tq + block_q - 1) // block_q) * block_q
