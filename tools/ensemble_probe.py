@@ -33,7 +33,7 @@ enable_compilation_cache()
 import jax.numpy as jnp
 
 
-def build(tiny: bool, trials: int, chunk: int | None):
+def build(tiny: bool, trials: int, chunk: int | None, fast: int | None = None):
     from cyclediffusion_tpu.energy.clean_clip import CLIPScorer, DirectionalCLIP
     from cyclediffusion_tpu.models.clip import CLIPConfig
     from cyclediffusion_tpu.pipelines.latent import (
@@ -70,6 +70,7 @@ def build(tiny: bool, trials: int, chunk: int | None):
         encoder_unconditional_guidance_scales=[1],
         decoder_unconditional_guidance_scales=[1, 1.5, 2, 3, 4, 5],
         candidate_chunk=chunk,
+        fast_key_every=fast,
         **pipe_kw,
     )
     image = jax.random.uniform(
@@ -83,10 +84,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--trials", type=int, default=15)
-    ap.add_argument("--chunk", type=int, default=15)
+    ap.add_argument("--chunk", type=int, default=4)
+    ap.add_argument("--fast", type=int, default=None,
+                    help="fast_key_every for both chains (encoder caching)")
     args = ap.parse_args()
 
-    pipe, image = build(args.tiny, args.trials, args.chunk)
+    pipe, image = build(args.tiny, args.trials, args.chunk, args.fast)
     n_codes = pipe.n_trials * len(pipe.enc_scales) * len(pipe.skip_steps)
     n_images = n_codes * len(pipe.dec_scales)
     print(f"{n_codes} latent codes -> {n_images} candidate images/sample "

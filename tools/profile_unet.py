@@ -66,7 +66,17 @@ def main():
     if not xplanes:
         print("no xplane captured"); return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except Exception as e:  # noqa: BLE001 — broken protobuf/TF pairing here
+        print(f"tensorboard_plugin_profile unusable ({type(e).__name__}); "
+              f"falling back to tools/xplane_ops.py direct XSpace parse "
+              f"(needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python)")
+        import xplane_ops
+
+        sys.argv = ["xplane_ops", trace_dir, "40"]
+        xplane_ops.main()
+        return
 
     # op_profile: JSON tree of exclusive self-time by category/op
     try:
