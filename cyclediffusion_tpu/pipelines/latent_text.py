@@ -420,10 +420,24 @@ class StochasticTextPipeline:
                 samples = self._decode_skip[skip](
                     params, xT_b, eps_b, c_ctx_r, uc_ctx_r, scales_b, keys_b,
                 )
-                decoded = self._decode_jit(
-                    params,
-                    samples.reshape((-1,) + samples.shape[2:]),
-                )
+                flat = samples.reshape((-1,) + samples.shape[2:])
+                # first-stage decode in micro-batches: at 512px the VAE
+                # decoder's activation working set is ~0.5GB/latent, so a
+                # big candidate chunk all at once thrashes HBM (profiled:
+                # the chunk-15 ensemble slowdown was this, not the UNet)
+                mb = min(8, flat.shape[0])
+                parts = [
+                    self._decode_jit(params, flat[i:i + mb])
+                    for i in range(0, flat.shape[0] - mb + 1, mb)
+                ]
+                tail = flat.shape[0] % mb
+                if tail:
+                    # pad the ragged tail to the micro-batch shape (one
+                    # compiled program) and slice the padding back off
+                    pad = jnp.concatenate(
+                        [flat[-tail:], flat[-1:].repeat(mb - tail, 0)], 0)
+                    parts.append(self._decode_jit(params, pad)[:tail])
+                decoded = jnp.concatenate(parts, axis=0)
                 decoded = decoded.reshape(
                     samples.shape[:2] + decoded.shape[1:]
                 )
