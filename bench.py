@@ -1,7 +1,16 @@
 """Benchmark: SD-512 50-step CycleDiffusion decode throughput on one chip.
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": "...", "value": N, "unit": "images/min/chip", "vs_baseline": N}
+IMMEDIATELY after the core batch-1 + slope measurements (flushed), so the
+driver's bench artifact always captures the number even if the optional
+extras stall on this image's remote-compile tunnel (the round-2 failure
+mode: BENCH_r02 rc=124 parsed=null while the core result was ready).
+The extras (full-translate, fast-mode) then run in a watchdog-bounded
+worker thread (CYCLEDIFFUSION_BENCH_EXTRA_BUDGET seconds, default 150);
+whatever lands in time is folded into a second, final JSON line with the
+same headline fields.  Both lines are complete and valid — a parser taking
+either the first or the last JSON line gets the correct headline.
 
 Measures the real flagship compute: the Stable-Diffusion-v1 UNet
 (320ch, 64x64x4 latents, 77x768 context) running a full 50-step eps-replay
@@ -22,12 +31,23 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 
 A100_IMAGES_PER_MIN = 60.0 / 3.5
+
+
+def _log(msg: str) -> None:
+    """Progress/diagnostic line to stderr (stdout carries only JSON)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.monotonic()
 
 
 def build(platform: str):
@@ -312,19 +332,79 @@ def _measure_slope(chain, params, x_T, eps, ctx, reps):
     return slopes[len(slopes) // 2]
 
 
-def main():
-    import numpy as np
+def _run_extras(platform: str, extra: dict) -> None:
+    """Fill the optional `extra.*` fields in place (worker thread).
 
+    Each sub-measure records either its value or an error string; the dict
+    is read by the main thread when the watchdog budget expires, so every
+    write here must leave `extra` in a printable state.
+    """
+    # full translate (encode + decode + VAE ends + text conditioning)
+    if os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FULL") != "1":
+        try:
+            _log("extra: full translate batch 1 ...")
+            full_s = _measure_full_translate(platform, 2 if platform == "cpu"
+                                             else 3)
+            extra["full_translate_s_per_image_batch1"] = round(full_s, 4)
+            extra["full_translate_images_per_min"] = round(60.0 / full_s, 3)
+            _log(f"extra: full translate batch 1 = {full_s:.3f} s/img")
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            extra["full_translate_error"] = f"{type(e).__name__}: {e}"[:200]
+            _log(f"extra: full translate FAILED: {e}")
+
+    # opt-in fast mode (encoder caching; LPIPS-bounded, off the parity path)
+    if os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FAST") != "1":
+        try:
+            _log("extra: fast mode key_every=2 ...")
+            fast_s, fast_bsz = _measure_fast_mode(
+                platform, 2 if platform == "cpu" else 3)
+            extra["fast_mode_key_every2_images_per_min"] = round(
+                60.0 / fast_s * fast_bsz, 3)
+            _log(f"extra: fast mode = {60.0 / fast_s * fast_bsz:.1f} img/min")
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            extra["fast_mode_error"] = f"{type(e).__name__}: {e}"[:200]
+            _log(f"extra: fast mode FAILED: {e}")
+
+    # full translate at the throughput batch (cache-warmed programs)
+    if (platform == "tpu"
+            and os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FULL") != "1"):
+        try:
+            _log("extra: full translate batch 4 ...")
+            full_b4_s = _measure_full_translate_b4(3)
+            extra["full_translate_s_per_image_batch4"] = round(full_b4_s, 4)
+            extra["full_translate_batch4_images_per_min"] = round(
+                60.0 / full_b4_s, 3)
+            _log(f"extra: full translate batch 4 = {full_b4_s:.3f} s/img")
+        except Exception as e:  # noqa: BLE001 — never lose the JSON line
+            extra["full_translate_batch4_error"] = (
+                f"{type(e).__name__}: {e}"[:200])
+            _log(f"extra: full translate batch 4 FAILED: {e}")
+
+
+def _headline(images_per_min: float, extra: dict) -> str:
+    return json.dumps({
+        "metric": ("SD-512 50-step translated images/min/chip; "
+                   "per-step UNet latency p50"),
+        "value": round(images_per_min, 3),
+        "unit": "images/min/chip",
+        "vs_baseline": round(images_per_min / A100_IMAGES_PER_MIN, 3),
+        "extra": dict(extra),
+    })
+
+
+def main():
     from cyclediffusion_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     platform = jax.default_backend()
+    _log(f"platform={platform}; building core chain ...")
     chain, params, x_T, eps, ctx, steps, config_name = build(platform)
     reps = 3 if platform == "cpu" else 5
 
     # latency: batch 1 (the metric's per-step p50 definition)
     per_image = _measure(chain, params, x_T, eps, ctx, steps, reps)
     per_step_ms = per_image / steps * 1000.0
+    _log(f"core batch-1: {per_image:.3f} s/img ({per_step_ms:.2f} ms/step)")
 
     # throughput: batch THROUGHPUT_BATCH images per chain, steady-state
     # (slope-timed: the tunnel's fixed per-sync RTT cancels, see
@@ -338,66 +418,54 @@ def main():
     else:
         per_batch = _measure_slope(chain, params, x_T_b, eps_b, ctx_b, reps)
     images_per_min = 60.0 / per_batch * bsz
+    _log(f"core throughput: {images_per_min:.1f} img/min/chip "
+         f"(batch {bsz})")
 
-    # full translate (encode + decode + VAE ends + text conditioning)
-    full_s = None
-    full_err = ""
-    if os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FULL") != "1":
-        try:
-            full_s = _measure_full_translate(platform, 2 if platform == "cpu"
-                                             else 3)
-        except Exception as e:  # noqa: BLE001 — never lose the JSON line
-            full_err = f"{type(e).__name__}: {e}"[:200]
+    extra = {
+        "config": config_name,
+        "platform": platform,
+        "throughput_batch": bsz,
+        "per_image_s_p50_batch1": round(per_image, 4),
+        "per_unet_step_ms_p50_batch1": round(per_step_ms, 3),
+        "steps": steps,
+        "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
+        "full_translate_s_per_image_batch1": None,
+        "full_translate_images_per_min": None,
+        "full_translate_error": "",
+        "fast_mode_key_every2_images_per_min": None,
+        "fast_mode_error": "",
+        "full_translate_s_per_image_batch4": None,
+        "full_translate_batch4_images_per_min": None,
+        "full_translate_batch4_error": "",
+    }
 
-    # opt-in fast mode (encoder caching; LPIPS-bounded, off the parity path)
-    fast_ipm = None
-    fast_err = ""
-    if os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FAST") != "1":
-        try:
-            fast_s, fast_bsz = _measure_fast_mode(
-                platform, 2 if platform == "cpu" else 3)
-            fast_ipm = 60.0 / fast_s * fast_bsz
-        except Exception as e:  # noqa: BLE001 — never lose the JSON line
-            fast_err = f"{type(e).__name__}: {e}"[:200]
+    # The headline lands NOW — the driver's artifact survives any extra
+    # stalling on the remote-compile tunnel (round-2 failure mode).
+    print(_headline(images_per_min, extra), flush=True)
 
-    # full translate at the throughput batch (cache-warmed programs)
-    full_b4_s = None
-    full_b4_err = ""
-    if (platform == "tpu"
-            and os.environ.get("CYCLEDIFFUSION_BENCH_SKIP_FULL") != "1"):
-        try:
-            full_b4_s = _measure_full_translate_b4(3)
-        except Exception as e:  # noqa: BLE001 — never lose the JSON line
-            full_b4_err = f"{type(e).__name__}: {e}"[:200]
-
-    print(json.dumps({
-        "metric": "SD-512 50-step translated images/min/chip; per-step UNet latency p50",
-        "value": round(images_per_min, 3),
-        "unit": "images/min/chip",
-        "vs_baseline": round(images_per_min / A100_IMAGES_PER_MIN, 3),
-        "extra": {
-            "config": config_name,
-            "platform": platform,
-            "throughput_batch": bsz,
-            "per_image_s_p50_batch1": round(per_image, 4),
-            "per_unet_step_ms_p50_batch1": round(per_step_ms, 3),
-            "steps": steps,
-            "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
-            "full_translate_s_per_image_batch1":
-                None if full_s is None else round(full_s, 4),
-            "full_translate_images_per_min":
-                None if full_s is None else round(60.0 / full_s, 3),
-            "full_translate_error": full_err,
-            "fast_mode_key_every2_images_per_min":
-                None if fast_ipm is None else round(fast_ipm, 3),
-            "fast_mode_error": fast_err,
-            "full_translate_s_per_image_batch4":
-                None if full_b4_s is None else round(full_b4_s, 4),
-            "full_translate_batch4_images_per_min":
-                None if full_b4_s is None else round(60.0 / full_b4_s, 3),
-            "full_translate_batch4_error": full_b4_err,
-        },
-    }))
+    budget = float(os.environ.get("CYCLEDIFFUSION_BENCH_EXTRA_BUDGET", "150"))
+    if budget <= 0:
+        _log("extras disabled (budget <= 0)")
+        return
+    worker = threading.Thread(target=_run_extras, args=(platform, extra),
+                              daemon=True)
+    worker.start()
+    worker.join(timeout=budget)
+    if worker.is_alive():
+        # A tunnel-blocked compile cannot be interrupted: mark the extras
+        # that never landed, print the final line, and force-exit past the
+        # stuck thread.
+        for k in ("full_translate_error", "fast_mode_error",
+                  "full_translate_batch4_error"):
+            v = k.replace("_error", "")
+            pending = all(extra.get(f) is None for f in extra
+                          if f.startswith(v) and not f.endswith("_error"))
+            if pending and not extra[k]:
+                extra[k] = f"timeout: extra budget {budget:.0f}s exceeded"
+        _log(f"extras exceeded {budget:.0f}s budget; force-exiting")
+        print(_headline(images_per_min, extra), flush=True)
+        os._exit(0)
+    print(_headline(images_per_min, extra), flush=True)
 
 
 if __name__ == "__main__":
