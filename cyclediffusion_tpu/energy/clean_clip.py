@@ -71,6 +71,29 @@ class CLIPScorer:
         """NHWC [0,1] images -> unit-norm embeddings (B, D)."""
         return self._embed_image(self.params, images01)
 
+    def embed_images_microbatched(self, images01: jnp.ndarray,
+                                  micro_batch: int = 64) -> jnp.ndarray:
+        """Embed a large flat image batch in fixed-shape micro-batches.
+
+        One jitted program serves every chunk (the ragged tail is padded to
+        the micro-batch shape and sliced back), so ranking a 540-candidate
+        ensemble is a handful of launches instead of one per candidate
+        (reference loops candidates one by one,
+        stable_diffusion_stochastic_text_wrapper.py:218-235).
+        """
+        n = images01.shape[0]
+        mb = min(micro_batch, n)
+        parts = [
+            self._embed_image(self.params, images01[i:i + mb])
+            for i in range(0, n - mb + 1, mb)
+        ]
+        tail = n % mb
+        if tail:
+            pad = jnp.concatenate(
+                [images01[-tail:], images01[-1:].repeat(mb - tail, 0)], 0)
+            parts.append(self._embed_image(self.params, pad)[:tail])
+        return jnp.concatenate(parts, axis=0)
+
     def embed_text(self, token_ids) -> jnp.ndarray:
         return self._embed_text(self.params, jnp.asarray(token_ids))
 

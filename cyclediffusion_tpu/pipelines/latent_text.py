@@ -30,50 +30,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from cyclediffusion_tpu.energy.clean_clip import DirectionalCLIP
+from cyclediffusion_tpu.ops.cfg import cfg_model_fn, cfg_model_fn_pair
 from cyclediffusion_tpu.pipelines.latent import LatentCoreSpec, LatentDiffusionCore
 from cyclediffusion_tpu.samplers import ddim_decode, dpm_encode, num_recovered_eps
 
 
-def _guided_model_fn(apply_model, uc_ctx, c_ctx, scale):
-    """CFG eps-model with a traced ``scale`` (one compile for all scales).
-
-    Mirrors the dual-batch combine (ddim.py:513-517); unlike the reference's
-    static special cases for scale in {0, 1}, the general formula is exact for
-    them too, and a single program serves the whole sweep.
-    """
-
-    def fn(x, t):
-        x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.concatenate([t, t], axis=0)
-        c_in = jnp.concatenate([uc_ctx, c_ctx], axis=0)
-        e_uc, e_c = jnp.split(apply_model(x_in, t_in, c_in), 2, axis=0)
-        return e_uc + scale * (e_c - e_uc)
-
-    return fn
-
-
-def _guided_model_fn_pair(apply_cached, uc_ctx, c_ctx, scale):
-    """Traced-scale CFG pair for the encoder-caching fast mode
-    (``ddim_decode_cached``): same dual-batch combine as
-    :func:`_guided_model_fn`, with the encoder cache threaded through."""
-    c_in = jnp.concatenate([uc_ctx, c_ctx], axis=0)
-
-    def _combine(out):
-        e_uc, e_c = jnp.split(out, 2, axis=0)
-        return e_uc + scale * (e_c - e_uc)
-
-    def key_fn(x, t):
-        x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.concatenate([t, t], axis=0)
-        out, cache = apply_cached(x_in, t_in, c_in, None)
-        return _combine(out), cache
-
-    def reuse_fn(x, t, cache):
-        x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.concatenate([t, t], axis=0)
-        return _combine(apply_cached(x_in, t_in, c_in, cache)[0])
-
-    return key_fn, reuse_fn
+# CFG with a traced per-candidate ``scale`` (one compiled program serves the
+# whole scale sweep — the general combine is exact for scales 0/1 too,
+# ddim.py:513-517).  The concat/split/combine core lives in ops/cfg.py;
+# passing a traced array routes both wrappers to the always-dual-batch path.
+_guided_model_fn = cfg_model_fn
+_guided_model_fn_pair = cfg_model_fn_pair
 
 
 class StochasticTextPipeline:
@@ -174,6 +141,16 @@ class StochasticTextPipeline:
             for a in arrays
         )
         return out
+
+    def _shard_rows(self, a):
+        """Re-shard a row-major array over the ``data`` axis (no-op off-mesh)."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+        )
 
     def _replicated(self, *trees):
         if self.mesh is None:
@@ -424,10 +401,17 @@ class StochasticTextPipeline:
                 # first-stage decode in micro-batches: at 512px the VAE
                 # decoder's activation working set is ~0.5GB/latent, so a
                 # big candidate chunk all at once thrashes HBM (profiled:
-                # the chunk-15 ensemble slowdown was this, not the UNet)
-                mb = min(8, flat.shape[0])
+                # the chunk-15 ensemble slowdown was this, not the UNet).
+                # On a mesh the micro-batch is ext-aligned and each chunk is
+                # re-sharded over ``data`` (a contiguous row slice of the
+                # block-sharded candidate axis would otherwise land on one
+                # device); the reshard moves ~0.5MB of latents per chunk,
+                # negligible next to the decode itself.
+                ext = self._data_extent
+                mb = min(8 * ext, flat.shape[0])
+                mb = max(ext, (mb // ext) * ext)
                 parts = [
-                    self._decode_jit(params, flat[i:i + mb])
+                    self._decode_jit(params, self._shard_rows(flat[i:i + mb]))
                     for i in range(0, flat.shape[0] - mb + 1, mb)
                 ]
                 tail = flat.shape[0] % mb
@@ -436,7 +420,8 @@ class StochasticTextPipeline:
                     # compiled program) and slice the padding back off
                     pad = jnp.concatenate(
                         [flat[-tail:], flat[-1:].repeat(mb - tail, 0)], 0)
-                    parts.append(self._decode_jit(params, pad)[:tail])
+                    parts.append(
+                        self._decode_jit(params, self._shard_rows(pad))[:tail])
                 decoded = jnp.concatenate(parts, axis=0)
                 decoded = decoded.reshape(
                     samples.shape[:2] + decoded.shape[1:]
@@ -464,29 +449,42 @@ class StochasticTextPipeline:
         dec_feat = dclip.text_features(list(decode_text))
         orig_feat = dclip.scorer.embed_image(original_img01)
 
-        scores = []
-        for img in img_ensemble:
-            _, dscore = dclip.score_with_features(
-                img, orig_feat, enc_feat, dec_feat
-            )
-            scores.append(dscore)
-        score_ensemble = jnp.stack(scores, axis=1)        # (B, n_candidates)
+        # rank the whole ensemble with micro-batched CLIP embeddings: a few
+        # large image-tower launches instead of one per candidate (the
+        # reference scores candidates one by one in a Python loop, :218-235)
+        n_cand = len(img_ensemble)
+        stacked = jnp.stack(img_ensemble, axis=0)          # (n, B, H, W, C)
+        flat = stacked.reshape((-1,) + stacked.shape[2:])
+        img_feat = dclip.scorer.embed_images_microbatched(flat)
+        img_feat = img_feat.reshape(n_cand, stacked.shape[1], -1)
+        img_dir = img_feat - orig_feat[None]
+        img_dir = img_dir / jnp.linalg.norm(img_dir, axis=-1, keepdims=True)
+        text_dir = dec_feat - enc_feat
+        text_dir = text_dir / jnp.linalg.norm(text_dir, axis=-1, keepdims=True)
+        score_ensemble = jnp.einsum("nbz,bz->bn", img_dir, text_dir)
         best_idx = jnp.argmax(score_ensemble, axis=1)
 
         bsz = score_ensemble.shape[0]
-        stacked = jnp.stack(img_ensemble, axis=1)          # (B, n, H, W, C)
+        stacked = jnp.moveaxis(stacked, 0, 1)              # (B, n, H, W, C)
         img = stacked[jnp.arange(bsz), best_idx]
 
-        # winning hyper-parameter report (reference :236-247)
-        n_inner = len(self.dec_scales) * len(self.enc_scales) * len(self.skip_steps)
+        # winning hyper-parameter report.  Flat candidate order is
+        # trial -> enc_scale -> skip (encode(), :334-339) with dec_scale
+        # innermost (generate() flat position i*D + d), so per-trial inner
+        # index bi = ((e*S) + s)*D + d.  NOTE: the reference's own print
+        # decodes this wrongly when |dec|>1 and |skip|>1
+        # (stable_diffusion_stochastic_text_wrapper.py:236-247 swaps the
+        # dec/skip strides); we return the correct tuples.
+        D, S = len(self.dec_scales), len(self.skip_steps)
+        n_inner = D * len(self.enc_scales) * S
         combos = []
         for b in range(bsz):
             bi = int(best_idx[b]) % n_inner
             combos.append(
                 (
-                    self.enc_scales[bi // (len(self.dec_scales) * len(self.skip_steps))],
-                    self.dec_scales[bi % (len(self.dec_scales) * len(self.skip_steps)) // len(self.skip_steps)],
-                    self.skip_steps[bi % len(self.skip_steps)],
+                    self.enc_scales[bi // (D * S)],
+                    self.dec_scales[bi % D],
+                    self.skip_steps[(bi // D) % S],
                 )
             )
         return img, combos
