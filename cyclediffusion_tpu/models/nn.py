@@ -116,9 +116,13 @@ class GroupNorm(nn.Module):
             preferred_element_type=jnp.float32, precision=highest)
         var = jnp.matmul(vsum / denom, memberT, precision=highest)   # (B, C)
         inv = jax.lax.rsqrt(var + self.eps)                   # (B, C) fp32
-        normed = d * inv.reshape(bshape).astype(dtype)
-        out = normed * scale.astype(dtype) + bias.astype(dtype)
-        return out
+        # normalize + affine epilogue in fp32, rounded ONCE at the end —
+        # matching torch GroupNorm's half-input behavior (upcast, normalize,
+        # downcast).  Elementwise and fused by XLA, so the bf16 HBM traffic
+        # is unchanged; only the in-register math is widened.
+        out = (x.astype(jnp.float32) - mean.reshape(bshape)) \
+            * inv.reshape(bshape) * scale + bias
+        return out.astype(dtype)
 
 
 def group_norm_silu(x, norm: GroupNorm):

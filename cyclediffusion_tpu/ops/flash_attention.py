@@ -154,13 +154,15 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q_ref[0][:, sl] * jnp.asarray(sm_scale, q_ref.dtype)
+        qh = q_ref[0][:, sl]
         kh = k_ref[0][:, sl]
         vh = v_ref[0][:, sl]
+        # scale the fp32 logits AFTER the matmul (matches _flash_kernel;
+        # scaling bf16 q first would round the scaled operand)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                # (BQ, BK) fp32
+        ) * sm_scale                                     # (BQ, BK) fp32
         if mask is not None:
             s = jnp.where(mask, s, _NEG_INF)
         m_prev = m_ref[:, h:h + 1]
