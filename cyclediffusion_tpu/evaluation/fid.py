@@ -187,34 +187,49 @@ def _inception_features(images: np.ndarray) -> Optional[np.ndarray]:
 
 
 def get_feature_extractor() -> Callable[[np.ndarray], np.ndarray]:
-    """Best available extractor, with loud logging about fidelity."""
+    """Best available extractor, with loud logging about fidelity.
+
+    The returned callable carries a ``.kind`` attribute naming the feature
+    backend actually used on the last call (``"inception"`` — clean-fid
+    comparable — or the ``"clip"`` / ``"moment"`` fallbacks), so metric keys
+    can be tagged and asset-less numbers can never be mistaken for clean-fid.
+    """
 
     def extract(images: np.ndarray) -> np.ndarray:
         feats = _inception_features(images)
         if feats is not None:
+            extract.kind = "inception"
             return feats
         feats = _clip_features(images)
         if feats is not None:
+            extract.kind = "clip"
             logger.warning(
                 "FID/KID computed over CLIP features (no inception asset) — "
                 "values are NOT comparable to clean-fid numbers."
             )
             return feats
+        extract.kind = "moment"
         logger.warning(
             "FID/KID computed over raw patch moments (no feature assets) — "
             "smoke-test fidelity only."
         )
         return _moment_features(images)
 
+    extract.kind = None
     return extract
 
 
 def compute_fid_kid(gen_images: np.ndarray, ref_images: np.ndarray):
-    """(Bg,H,W,C), (Br,H,W,C) in [0,1] -> (fid, kid)."""
+    """(Bg,H,W,C), (Br,H,W,C) in [0,1] -> (fid, kid, feature_kind).
+
+    ``feature_kind`` is ``"inception"`` (clean-fid comparable) or the
+    ``"clip"`` / ``"moment"`` fallback used when no asset is available.
+    """
     extract = get_feature_extractor()
     f_gen = extract(gen_images)
     f_ref = extract(ref_images)
     return (
         compute_fid_from_features(f_gen, f_ref),
         compute_kid_from_features(f_gen, f_ref),
+        extract.kind,
     )

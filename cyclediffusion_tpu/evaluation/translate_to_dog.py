@@ -82,9 +82,13 @@ class Evaluator:
             "l2": all_l2 / n,
         }
         if ref_images:
-            fid_score, kid_score = compute_fid_kid(
+            fid_score, kid_score, feat_kind = compute_fid_kid(
                 np.stack(gen_images), np.stack(ref_images)
             )
-            summary["kid"] = kid_score
-            summary["fid"] = fid_score
+            # only inception features are clean-fid comparable; fallback
+            # extractors get their kind baked into the metric key so their
+            # numbers can never be mistaken for the paper's FID/KID
+            suffix = "" if feat_kind == "inception" else f"_{feat_kind}_feat"
+            summary[f"kid{suffix}"] = kid_score
+            summary[f"fid{suffix}"] = fid_score
         return summary

