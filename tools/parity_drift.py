@@ -34,10 +34,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-# parity math runs on CPU at full precision (the oracle is torch-CPU)
+# parity math runs on CPU at full precision (the oracle is torch-CPU);
+# tools/parity_sd.py re-imports this module with the env override to run
+# OUR chains on the real chip (still fp32 matmuls via highest precision)
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("CYCLEDIFFUSION_PARITY_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp  # noqa: E402

@@ -203,17 +203,113 @@ def validate_sd(n_images, out_dir):
         n_images, out_dir, "sd")
 
 
+def _import_test_oracle(module_name):
+    """The torch oracle module graphs live in tests/ (hand-built clones of
+    pytorch-fid's FIDInceptionV3 and lpips.LPIPS(net='vgg') that accept the
+    real assets' state_dict key layout)."""
+    tests_dir = os.path.join(os.path.dirname(__file__), "..", "tests")
+    if tests_dir not in sys.path:
+        sys.path.append(tests_dir)
+    import importlib
+
+    return importlib.import_module(module_name)
+
+
+def validate_inception(n_images, out_dir):
+    """Converter parity on the REAL pytorch-fid inception asset: convert the
+    state_dict (BN folding) and assert pool3 features match the torch tower
+    loaded with the same weights.  Parity target:
+    /root/reference/evaluation/translate_to_dog.py:81-88 (clean-fid)."""
+    path = os.environ.get("CYCLEDIFFUSION_INCEPTION_CKPT", "")
+    if not path or not os.path.exists(path):
+        return {"status": "skipped",
+                "missing": [path or "$CYCLEDIFFUSION_INCEPTION_CKPT"]}
+    import torch
+
+    from cyclediffusion_tpu.convert.inception_import import convert_inception
+    from cyclediffusion_tpu.convert.torch_import import load_torch_state_dict
+    from cyclediffusion_tpu.models.inception import inception_pool3_features
+
+    mod = _import_test_oracle("test_inception_parity")
+    sd_np = load_torch_state_dict(path)
+    params = convert_inception(sd_np)
+
+    oracle = mod.TorchFIDInception().eval()
+    sd_t = {k: torch.tensor(np.asarray(v)) for k, v in sd_np.items()}
+    missing, unexpected = oracle.load_state_dict(sd_t, strict=False)
+    if missing:  # unexpected keys (fc head, AuxLogits) are fine; missing not
+        return {"status": "error",
+                "error": f"oracle keys missing from asset: {missing[:8]}"}
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (4, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(
+            np.transpose(img, (0, 3, 1, 2)) * 2.0 - 1.0)).numpy()
+    ours = np.asarray(inception_pool3_features(params, jnp.asarray(img)))
+    err = float(np.max(np.abs(ours - ref)))
+    rel = float(np.max(np.abs(ours - ref) / (np.abs(ref) + 1e-3)))
+    ok = bool(err < 2e-2 and rel < 2e-2)
+    return {"status": "ok" if ok else "error", "max_abs_err": err,
+            "max_rel_err": rel, "unexpected_keys": len(unexpected)}
+
+
+def validate_lpips(n_images, out_dir):
+    """Converter parity on the REAL lpips VGG16 asset (env
+    CYCLEDIFFUSION_LPIPS): converted Flax distances vs the torch tower."""
+    path = os.environ.get("CYCLEDIFFUSION_LPIPS", "")
+    if not path or not os.path.exists(path):
+        return {"status": "skipped",
+                "missing": [path or "$CYCLEDIFFUSION_LPIPS"]}
+    import torch
+
+    from cyclediffusion_tpu.convert.lpips_import import convert_lpips
+    from cyclediffusion_tpu.convert.torch_import import load_torch_state_dict
+    from cyclediffusion_tpu.evaluation import lpips as jlpips
+
+    mod = _import_test_oracle("test_lpips")
+    sd_np = load_torch_state_dict(path)
+    params = convert_lpips(sd_np)
+
+    oracle = mod._TorchLPIPS().eval()
+    # the real package names the shift/scale buffers under scaling_layer.*
+    remap = {"scaling_layer.shift": "shift", "scaling_layer.scale": "scale"}
+    sd_t = {remap.get(k, k): torch.tensor(np.asarray(v))
+            for k, v in sd_np.items()}
+    missing, unexpected = oracle.load_state_dict(sd_t, strict=False)
+    if missing:
+        return {"status": "error",
+                "error": f"oracle keys missing from asset: {missing[:8]}"}
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (4, 3, 64, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.2, a.shape), -1, 1).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.tensor(a), torch.tensor(b)).numpy()
+    ours = np.asarray(jlpips.lpips_distance(
+        params,
+        jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(b, (0, 2, 3, 1)))))
+    err = float(np.max(np.abs(ours - ref)))
+    ok = bool(err < 1e-3)
+    return {"status": "ok" if ok else "error", "max_abs_err": err,
+            "unexpected_keys": len(unexpected)}
+
+
 VALIDATORS = {
     "afhq": validate_afhq,
     "ffhq": validate_ffhq,
     "ldm_text": validate_ldm_text,
     "sd": validate_sd,
+    "inception": validate_inception,
+    "lpips": validate_lpips,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="afhq,ffhq,ldm_text,sd")
+    ap.add_argument("--configs",
+                    default="afhq,ffhq,ldm_text,sd,inception,lpips")
     ap.add_argument("--images", type=int, default=4)
     ap.add_argument("--out", default="VALIDATION_REPORT.json")
     ap.add_argument("--out-dir", default="output/validate")
