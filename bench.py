@@ -7,7 +7,9 @@ driver's bench artifact always captures the number even if the optional
 extras stall on this image's remote-compile tunnel (the round-2 failure
 mode: BENCH_r02 rc=124 parsed=null while the core result was ready).
 The extras (full-translate, fast-mode) then run in a watchdog-bounded
-worker thread (CYCLEDIFFUSION_BENCH_EXTRA_BUDGET seconds, default 150);
+worker thread (CYCLEDIFFUSION_BENCH_EXTRA_BUDGET seconds, default 270,
+further clipped so total wall stays under CYCLEDIFFUSION_BENCH_TOTAL_BUDGET,
+default 540);
 whatever lands in time is folded into a second, final JSON line with the
 same headline fields.  Both lines are complete and valid — a parser taking
 either the first or the last JSON line gets the correct headline.
@@ -443,9 +445,21 @@ def main():
     # stalling on the remote-compile tunnel (round-2 failure mode).
     print(_headline(images_per_min, extra), flush=True)
 
-    budget = float(os.environ.get("CYCLEDIFFUSION_BENCH_EXTRA_BUDGET", "150"))
+    # Extras run until the sooner of the extras budget and the TOTAL wall
+    # budget (headroom under the driver's external timeout): a slow tunnel
+    # setup eats into the extras, never into delivering the final line.
+    budget = float(os.environ.get("CYCLEDIFFUSION_BENCH_EXTRA_BUDGET", "270"))
     if budget <= 0:
         _log("extras disabled (budget <= 0)")
+        return
+    total = float(os.environ.get("CYCLEDIFFUSION_BENCH_TOTAL_BUDGET", "540"))
+    budget = min(budget, total - (time.monotonic() - _T0))
+    if budget <= 15:
+        _log("extras skipped (no time left in total budget)")
+        for k in ("full_translate_error", "fast_mode_error",
+                  "full_translate_batch4_error"):
+            extra[k] = "skipped: total budget exhausted by core/setup"
+        print(_headline(images_per_min, extra), flush=True)
         return
     worker = threading.Thread(target=_run_extras, args=(platform, extra),
                               daemon=True)

@@ -60,7 +60,9 @@ class CLIPScorer:
     def random_init(cls, key, config: Optional[CLIPConfig] = None, **kw):
         config = config or CLIPConfig.vit_b_32()
         model = CLIPModel(config)
-        params = model.init(
+        # jitted: unjitted init dispatches per-primitive programs, which on
+        # the tunneled TPU runtime costs minutes of remote compiles
+        params = jax.jit(model.init)(
             key,
             jnp.zeros((1, config.image_resolution, config.image_resolution, 3)),
             jnp.zeros((1, config.context_length), jnp.int32),

@@ -246,6 +246,12 @@ class LatentDiffusionCore:
 
     @classmethod
     def random_init(cls, spec: LatentCoreSpec, key: jax.Array, **kw):
+        # every .init below is jitted: unjitted Flax init dispatches each
+        # primitive as its own tiny program, and on this image's tunneled
+        # TPU runtime the per-program remote compiles cost ~10 min for the
+        # SD core on a fresh process (measured — the round-2 bench-extras
+        # stall).  One jitted init per submodule compiles once and replays
+        # from the persistent cache.
         k1, k2, k3 = jax.random.split(key, 3)
         latent = jnp.zeros(
             (1, spec.image_size, spec.image_size, spec.channels)
@@ -256,17 +262,17 @@ class LatentDiffusionCore:
         cond_params = None
         if core.cond_model is not None:
             ids = jnp.zeros((1, 8), jnp.int32)
-            cond_params = core.cond_model.init(k3, ids)
+            cond_params = jax.jit(core.cond_model.init)(k3, ids)
             ctx_dim = spec.unet.context_dim
             ctx = jnp.zeros((1, 8, ctx_dim))
         img = jnp.zeros((1, spec.resolution, spec.resolution, 3))
         if spec.fs_kind == "kl":
             noise = jnp.zeros_like(latent)
-            fs_params = core.first_stage.init(k2, img, noise)
+            fs_params = jax.jit(core.first_stage.init)(k2, img, noise)
         else:
-            fs_params = core.first_stage.init(k2, img)
+            fs_params = jax.jit(core.first_stage.init)(k2, img)
         params = {
-            "unet": core.unet.init(k1, latent, t, ctx),
+            "unet": jax.jit(core.unet.init)(k1, latent, t, ctx),
             "first_stage": fs_params,
         }
         if cond_params is not None:

@@ -157,9 +157,11 @@ def init_random_params(spec: PixelModelSpec, key: jax.Array, dtype=jnp.float32):
     model = build_pixel_model(spec, dtype=dtype)
     x = jnp.zeros((1, spec.resolution, spec.resolution, spec.channels), dtype)
     t = jnp.zeros((1,), jnp.int32)
+    # jitted: unjitted init dispatches per-primitive programs, which on the
+    # tunneled TPU runtime costs minutes of remote compiles per process
     if isinstance(spec.unet, GDUNetConfig) and spec.unet.num_classes is not None:
-        return model.init(key, x, t, None, jnp.zeros((1,), jnp.int32))
-    return model.init(key, x, t)
+        return jax.jit(model.init)(key, x, t, None, jnp.zeros((1,), jnp.int32))
+    return jax.jit(model.init)(key, x, t)
 
 
 def load_pixel_params(spec: PixelModelSpec, ckpt_path: str):
