@@ -104,17 +104,43 @@ class GroupNorm(nn.Module):
         # precision truncates fp32 matmul operands to bf16); for bf16 inputs
         # it is a no-op, and these stat matmuls are microseconds either way.
         highest = jax.lax.Precision.HIGHEST
-        gsum = jnp.einsum("bsc,cg->bg", flat, member,
-                          preferred_element_type=jnp.float32,
-                          precision=highest)
         memberT = member.astype(jnp.float32).T
-        mean = jnp.matmul(gsum / denom, memberT, precision=highest)  # (B, C)
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
-        d = x - mean.reshape(bshape).astype(dtype)
-        vsum = jnp.einsum(
-            "bsc,cg->bg", (d * d).reshape(x.shape[0], spatial, c), member,
-            preferred_element_type=jnp.float32, precision=highest)
-        var = jnp.matmul(vsum / denom, memberT, precision=highest)   # (B, C)
+        if dtype == jnp.float32:
+            # exact two-pass stats (mean, then var of x - mean): the CPU /
+            # parity path, bit-stable vs the torch oracle tolerances
+            gsum = jnp.einsum("bsc,cg->bg", flat, member,
+                              preferred_element_type=jnp.float32,
+                              precision=highest)
+            mean = jnp.matmul(gsum / denom, memberT,
+                              precision=highest)                 # (B, C)
+            d = x - mean.reshape(bshape)
+            vsum = jnp.einsum(
+                "bsc,cg->bg", (d * d).reshape(x.shape[0], spatial, c), member,
+                preferred_element_type=jnp.float32, precision=highest)
+            var = jnp.matmul(vsum / denom, memberT,
+                             precision=highest)                  # (B, C)
+        else:
+            # one-pass stats (var = E[x^2] - mean^2): both reductions read x
+            # in the SAME fusion pass (no mean -> var serial dependency), so
+            # the conv-output read happens once instead of twice.  The square
+            # is taken in fp32 IN-REGISTER (HBM read stays bf16): rounding
+            # x^2 to bf16 first does not cancel in E[x^2] - mean^2 and blows
+            # up var when |mean| >> std (measured 1.2 abs error at
+            # mean/std=50 vs 2e-3 with the fp32 square).  The fp32 stat
+            # matmul's G=32 output tile keeps it microseconds.
+            flat32 = flat.astype(jnp.float32)
+            member32 = member.astype(jnp.float32)
+            gsum = jnp.einsum("bsc,cg->bg", flat32, member32,
+                              preferred_element_type=jnp.float32,
+                              precision=highest)
+            gsq = jnp.einsum("bsc,cg->bg", flat32 * flat32, member32,
+                             preferred_element_type=jnp.float32,
+                             precision=highest)
+            mean_g = gsum / denom                                # (B, G)
+            var_g = jnp.maximum(gsq / denom - mean_g * mean_g, 0.0)
+            mean = jnp.matmul(mean_g, memberT, precision=highest)
+            var = jnp.matmul(var_g, memberT, precision=highest)
         inv = jax.lax.rsqrt(var + self.eps)                   # (B, C) fp32
         # normalize + affine epilogue in fp32, rounded ONCE at the end —
         # matching torch GroupNorm's half-input behavior (upcast, normalize,

@@ -23,8 +23,29 @@ import jax.numpy as jnp
 from cyclediffusion_tpu.models.nn import GroupNorm, multi_head_attention
 
 
+class _Kernel(nn.Module):
+    """Bias-free Dense kernel holder: same param tree as
+    ``nn.Dense(use_bias=False)`` ({name: {kernel}}), but the matmul is the
+    caller's — lets self-attention run ONE wide qkv matmul (below) while the
+    converter / checkpoints see the reference's to_q/to_k/to_v split."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
 class CrossAttention(nn.Module):
-    """Multi-head attention, q from x, k/v from context (or x if None)."""
+    """Multi-head attention, q from x, k/v from context (or x if None).
+
+    Parity: ``ldm/modules/attention.py:152-193`` (bias-free q/k/v, 1/sqrt(d)
+    scale, biased output projection).  TPU note: for SELF-attention the
+    three projections share the input, so the kernels are concatenated and
+    applied as one (C, 3*inner) matmul — one MXU dispatch and one read of
+    the (B, T, C) activation instead of three (the 4096-token ds1 blocks
+    are HBM-bound on activation reads).
+    """
 
     heads: int
     dim_head: int
@@ -34,10 +55,19 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None):
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
-        context = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        wq = _Kernel((query_dim, inner), name="to_q")()
+        ctx_dim = query_dim if context is None else context.shape[-1]
+        wk = _Kernel((ctx_dim, inner), name="to_k")()
+        wv = _Kernel((ctx_dim, inner), name="to_v")()
+        xd = x.astype(self.dtype)
+        if context is None:
+            qkv = xd @ jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            cd = context.astype(self.dtype)
+            q = xd @ wq.astype(self.dtype)
+            kv = cd @ jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
+            k, v = jnp.split(kv, 2, axis=-1)
         out = multi_head_attention(q, k, v, self.heads)
         return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
 

@@ -35,6 +35,7 @@ from cyclediffusion_tpu.models.text_encoders import (
 )
 from cyclediffusion_tpu.models.unet_gd import GDUNet, GDUNetConfig
 from cyclediffusion_tpu.ops import schedule
+from cyclediffusion_tpu.ops.fold import SplitInputParams, split_first_stage_apply
 from cyclediffusion_tpu.samplers import (
     ddim_decode,
     ddim_decode_cached,
@@ -203,6 +204,10 @@ class LatentDiffusionCore:
         self.spec = spec
         self.params = params
         self.dtype = dtype
+        # tiled first-stage inference for large inputs; set/cleared at will,
+        # mirroring `model.split_input_params = {...}` / `delattr`
+        # (notebook_helpers.py:149-165).  See ops/fold.py.
+        self.split_input_params = None
 
         self.unet = GDUNet(spec.unet, dtype=dtype)
         if spec.fs_kind == "kl":
@@ -305,30 +310,62 @@ class LatentDiffusionCore:
         params = self.params if params is None else params
         return self.cond_model.apply(params["cond"], jnp.asarray(token_ids))
 
+    @property
+    def _vqf(self) -> int:
+        """First-stage spatial factor (2^(levels-1)); the reference passes it
+        in as split_input_params['vqf']."""
+        return 2 ** (len(self.spec.first_stage.ch_mult) - 1)
+
     def encode_first_stage(self, image_m11, noise=None, params=None):
-        """[-1,1] image -> x0 latent (KL: posterior sample x scale_factor)."""
+        """[-1,1] image -> x0 latent (KL: posterior sample x scale_factor).
+
+        With ``split_input_params`` set, the image is encoded in overlapping
+        ``ks`` tiles blended by border weighting (ddpm.py:817-849).  The
+        reference's split encode only survives VQ first stages (it stacks
+        raw ``encode`` outputs, which for KL are posterior objects); here the
+        KL case tiles the MOMENTS and samples the stitched posterior, so
+        both kinds work.
+        """
         params = self.params if params is None else params
+        sip = self.split_input_params
         if self.spec.fs_kind == "kl":
-            moments = self.first_stage.apply(
-                params["first_stage"], image_m11,
+            enc = lambda img: self.first_stage.apply(
+                params["first_stage"], img,
                 method=self.first_stage.encode_moments,
             )
+            if sip is not None and sip.patch_distributed_vq:
+                moments = split_first_stage_apply(
+                    enc, image_m11, sip, scale=self._vqf, upsample=False)
+            else:
+                moments = enc(image_m11)
             posterior = DiagonalGaussian(moments)
             assert noise is not None, "KL first stage sampling needs noise"
             z = posterior.sample(noise)
         else:
-            z = self.first_stage.apply(
-                params["first_stage"], image_m11,
-                method=self.first_stage.encode,
+            enc = lambda img: self.first_stage.apply(
+                params["first_stage"], img, method=self.first_stage.encode,
             )
+            if sip is not None and sip.patch_distributed_vq:
+                z = split_first_stage_apply(
+                    enc, image_m11, sip, scale=self._vqf, upsample=False)
+            else:
+                z = enc(image_m11)
         return z * self.spec.scale_factor
 
     def decode_first_stage(self, z, params=None):
+        """Latent -> [-1,1] image; tiled overlap-blended decode when
+        ``split_input_params`` is set (ddpm.py:698-745, patches batched into
+        ONE VAE call instead of the reference's per-patch Python loop)."""
         params = self.params if params is None else params
         z = z / self.spec.scale_factor
-        return self.first_stage.apply(
-            params["first_stage"], z, method=self.first_stage.decode
+        dec = lambda zz: self.first_stage.apply(
+            params["first_stage"], zz, method=self.first_stage.decode
         )
+        sip = self.split_input_params
+        if sip is not None and sip.patch_distributed_vq:
+            return split_first_stage_apply(
+                dec, z, sip, scale=self._vqf, upsample=True)
+        return dec(z)
 
     def make_ddim_schedule(self, custom_steps: int, eta: float):
         betas = schedule.make_beta_schedule(

@@ -80,7 +80,24 @@ def get_dataset_splits(args):
     )
 
 
+def _apply_platform_env() -> None:
+    """Honor ``JAX_PLATFORMS`` even when a sitecustomize overrides it.
+
+    Some managed images re-set the platform list programmatically after
+    ``import jax`` (so the env var alone is silently ignored, and a dead
+    accelerator tunnel blocks backend discovery forever).  Re-applying the
+    user's explicit env choice through ``jax.config`` restores the standard
+    JAX contract: ``JAX_PLATFORMS=cpu python main.py ...`` runs on CPU.
+    """
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
+
+
 def main(argv=None):
+    _apply_platform_env()
     from cyclediffusion_tpu.runtime.config import get_config
     from cyclediffusion_tpu.runtime.driver import Driver
     from cyclediffusion_tpu.runtime.registry import (
