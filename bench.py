@@ -11,8 +11,10 @@ worker thread (CYCLEDIFFUSION_BENCH_EXTRA_BUDGET seconds, default 270,
 further clipped so total wall stays under CYCLEDIFFUSION_BENCH_TOTAL_BUDGET,
 default 540);
 whatever lands in time is folded into a second, final JSON line with the
-same headline fields.  Both lines are complete and valid — a parser taking
-either the first or the last JSON line gets the correct headline.
+same headline fields.  Every printed line is valid headline JSON and the
+LAST line is authoritative (each line supersedes the ones before it; on a
+cold compile cache a provisional batch-1 line may precede the batch-4
+headline so a killed run still reports a real measurement).
 
 Measures the real flagship compute: the Stable-Diffusion-v1 UNet
 (320ch, 64x64x4 latents, 77x768 context) running a full 50-step eps-replay
@@ -414,6 +416,15 @@ def main():
     per_step_ms = per_image / steps * 1000.0
     _log(f"core batch-1: {per_image:.3f} s/img ({per_step_ms:.2f} ms/step)")
 
+    base_extra = {
+        "config": config_name,
+        "platform": platform,
+        "per_image_s_p50_batch1": round(per_image, 4),
+        "per_unet_step_ms_p50_batch1": round(per_step_ms, 3),
+        "steps": steps,
+        "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
+    }
+
     # Cold-cache rescue: if setup+compile already ate most of the wall (the
     # persistent cache was cold — e.g. first run after a kernel change), the
     # batch-THROUGHPUT_BATCH compile below may blow past the driver's
@@ -426,12 +437,7 @@ def main():
         _log("slow setup/compile detected: emitting provisional batch-1 "
              "headline")
         print(_headline(60.0 / per_image, {
-            "config": config_name, "platform": platform,
-            "throughput_batch": 1,
-            "per_image_s_p50_batch1": round(per_image, 4),
-            "per_unet_step_ms_p50_batch1": round(per_step_ms, 3),
-            "steps": steps,
-            "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
+            **base_extra, "throughput_batch": 1,
             "note": "provisional batch-1 line (cold compile cache); the "
                     "batch-4 headline follows if time permits",
         }), flush=True)
@@ -452,13 +458,8 @@ def main():
          f"(batch {bsz})")
 
     extra = {
-        "config": config_name,
-        "platform": platform,
+        **base_extra,
         "throughput_batch": bsz,
-        "per_image_s_p50_batch1": round(per_image, 4),
-        "per_unet_step_ms_p50_batch1": round(per_step_ms, 3),
-        "steps": steps,
-        "baseline_images_per_min_a100": round(A100_IMAGES_PER_MIN, 3),
         "full_translate_s_per_image_batch1": None,
         "full_translate_images_per_min": None,
         "full_translate_error": "",

@@ -106,7 +106,7 @@ class GroupNorm(nn.Module):
         highest = jax.lax.Precision.HIGHEST
         memberT = member.astype(jnp.float32).T
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
-        if dtype == jnp.float32:
+        if dtype not in (jnp.bfloat16, jnp.float16):
             # exact two-pass stats (mean, then var of x - mean): the CPU /
             # parity path, bit-stable vs the torch oracle tolerances
             gsum = jnp.einsum("bsc,cg->bg", flat, member,

@@ -43,7 +43,9 @@ class SplitInputParams:
 
     ks: Tuple[int, int] = (128, 128)
     stride: Tuple[int, int] = (64, 64)
-    vqf: int = 4
+    # First-stage spatial factor; None -> derived from the model's ch_mult
+    # (the reference requires it explicitly, notebook_helpers.py:153-160)
+    vqf: Optional[int] = None
     patch_distributed_vq: bool = True
     tie_braker: bool = False          # sic — reference key spelling
     clip_max_weight: float = 0.5
@@ -155,13 +157,21 @@ def split_first_stage_apply(
     ks, stride = _clip_geometry(x.shape[1:3], p.ks, p.stride)
     Ly, Lx = _grid(x.shape[1:3], ks, stride)
     L = Ly * Lx
+    # the patch grid must cover the input exactly, or the uncovered strip's
+    # fold normalizer is zero and the division below emits silent NaNs (the
+    # reference has the same failure mode; here it is a loud precondition)
+    assert ks[0] + (Ly - 1) * stride[0] == x.shape[1], (
+        "patch grid does not cover input height", x.shape[1], ks[0], stride[0])
+    assert ks[1] + (Lx - 1) * stride[1] == x.shape[2], (
+        "patch grid does not cover input width", x.shape[2], ks[1], stride[1])
 
     if upsample:
         oks = (ks[0] * scale, ks[1] * scale)
         ostride = (stride[0] * scale, stride[1] * scale)
         out_hw = (x.shape[1] * scale, x.shape[2] * scale)
     else:
-        assert ks[0] % scale == 0 and stride[0] % scale == 0, (ks, stride)
+        assert all(k % scale == 0 and s % scale == 0
+                   for k, s in zip(ks, stride)), (ks, stride, scale)
         oks = (ks[0] // scale, ks[1] // scale)
         ostride = (stride[0] // scale, stride[1] // scale)
         out_hw = (x.shape[1] // scale, x.shape[2] // scale)

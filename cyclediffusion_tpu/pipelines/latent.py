@@ -204,9 +204,12 @@ class LatentDiffusionCore:
         self.spec = spec
         self.params = params
         self.dtype = dtype
-        # tiled first-stage inference for large inputs; set/cleared at will,
-        # mirroring `model.split_input_params = {...}` / `delattr`
-        # (notebook_helpers.py:149-165).  See ops/fold.py.
+        # tiled first-stage inference for large inputs, mirroring
+        # `model.split_input_params = {...}` / `delattr`
+        # (notebook_helpers.py:149-165).  See ops/fold.py.  NOTE: the flag
+        # is read at TRACE time — set it before jitting/compiling a caller
+        # (a jitted program replayed from cache keeps whatever setting it
+        # was traced with; the eager reference toggles at will, jit cannot).
         self.split_input_params = None
 
         self.unet = GDUNet(spec.unet, dtype=dtype)
@@ -316,6 +319,11 @@ class LatentDiffusionCore:
         in as split_input_params['vqf']."""
         return 2 ** (len(self.spec.first_stage.ch_mult) - 1)
 
+    def _split_scale(self, sip) -> int:
+        """Honor an explicit ``vqf`` (the reference always sets one,
+        notebook_helpers.py:153-160); default to the model-derived factor."""
+        return self._vqf if sip.vqf is None else sip.vqf
+
     def encode_first_stage(self, image_m11, noise=None, params=None):
         """[-1,1] image -> x0 latent (KL: posterior sample x scale_factor).
 
@@ -335,7 +343,8 @@ class LatentDiffusionCore:
             )
             if sip is not None and sip.patch_distributed_vq:
                 moments = split_first_stage_apply(
-                    enc, image_m11, sip, scale=self._vqf, upsample=False)
+                    enc, image_m11, sip, scale=self._split_scale(sip),
+                    upsample=False)
             else:
                 moments = enc(image_m11)
             posterior = DiagonalGaussian(moments)
@@ -347,7 +356,8 @@ class LatentDiffusionCore:
             )
             if sip is not None and sip.patch_distributed_vq:
                 z = split_first_stage_apply(
-                    enc, image_m11, sip, scale=self._vqf, upsample=False)
+                    enc, image_m11, sip, scale=self._split_scale(sip),
+                    upsample=False)
             else:
                 z = enc(image_m11)
         return z * self.spec.scale_factor
@@ -364,7 +374,7 @@ class LatentDiffusionCore:
         sip = self.split_input_params
         if sip is not None and sip.patch_distributed_vq:
             return split_first_stage_apply(
-                dec, z, sip, scale=self._vqf, upsample=True)
+                dec, z, sip, scale=self._split_scale(sip), upsample=True)
         return dec(z)
 
     def make_ddim_schedule(self, custom_steps: int, eta: float):
