@@ -181,9 +181,16 @@ def split_first_stage_apply(
     if micro_batch is None or micro_batch >= b * L:
         dec = fn(flat)
     else:
+        # pad the tail chunk to micro_batch so fn is traced/compiled at ONE
+        # shape (a ragged remainder would force a second multi-minute
+        # first-stage compile through a remote-compile setup)
         mb = micro_batch
+        n = flat.shape[0]
+        pad = (-n) % mb
+        if pad:
+            flat = jnp.concatenate([flat, flat[:pad]], axis=0)
         dec = jnp.concatenate(
-            [fn(flat[i: i + mb]) for i in range(0, b * L, mb)], axis=0)
+            [fn(flat[i: i + mb]) for i in range(0, n + pad, mb)], axis=0)[:n]
     dec = dec.reshape((b, L) + dec.shape[1:])            # (B, L, ok, ok, C')
 
     w = patch_weighting(oks, Ly, Lx, p)                  # (L, ok0, ok1)

@@ -36,8 +36,11 @@ def gumbel_with_maximum(
     lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
     g_max = sample_gumbel(k1, lse.shape) + lse
     g = sample_gumbel(k2, logits.shape) + logits
-    # truncate all positions below the max (numerically stable form)
-    v = g_max - g + jnp.log1p(-jnp.exp(g - g_max) + 1e-20)
-    truncated = g_max - jnp.maximum(v, 0.0) - jnp.log1p(jnp.exp(-jnp.abs(v)))
+    # truncate all positions below the max: -log(exp(-g) + exp(-g_max))
+    # (dist_utils.py:15,66), in the stable form
+    # min(g, T) - log1p(exp(-|g - T|)) which is finite for ANY g (a free
+    # Gumbel can exceed the drawn max; forms assuming g <= T emit NaN there)
+    truncated = (jnp.minimum(g, g_max)
+                 - jnp.log1p(jnp.exp(-jnp.abs(g - g_max))))
     onehot = jax.nn.one_hot(argmax_index, n, dtype=bool)
     return jnp.where(onehot, jnp.broadcast_to(g_max, logits.shape), truncated)

@@ -204,6 +204,14 @@ def pixel_timestep_grid(t_0: int, custom_steps: int, es_steps: int):
     else:
         seq_inv = list(np.linspace(0, 1, custom_steps) * t_0)
     seq_inv = [int(s) for s in seq_inv][:es_steps]
+    if len(set(seq_inv)) != len(seq_inv):
+        # custom_steps > t_0 + 1 makes the int-cast linspace repeat values;
+        # a duplicate (t == t_next) step has c1 == 0 and the eta-DDIM
+        # eps-recovery divides by it (silent inf in the reference) — reject
+        # the grid loudly instead
+        raise ValueError(
+            f"duplicate timesteps in pixel grid (custom_steps={custom_steps} "
+            f"> t_0+1={t_0 + 1}?): eta-DDIM eps recovery would divide by 0")
     seq_inv_next = ([-1] + list(seq_inv[:-1]))[:es_steps]
     return np.asarray(seq_inv, dtype=np.int32), np.asarray(seq_inv_next, dtype=np.int32)
 

@@ -134,13 +134,18 @@ def sample_xt_next(
 # --------------------------------------------------------------------------- #
 
 
-def split_model_output(et: jnp.ndarray, channel_axis: int = -1):
+def split_model_output(et: jnp.ndarray, channel_axis: int = -1,
+                       channels: int | None = None):
     """Split a learn-sigma model output (2C channels) into (eps, var_values).
 
     Parity with ``torch.split(et, et.shape[1]//2, dim=1)``
-    (diffusion_utils.py:40-41); returns (et, None) when channels already match.
+    (diffusion_utils.py:40-41).  When ``channels`` is given and the output
+    already has exactly that many channels (a non-learn-sigma model), the
+    output IS eps and ``(et, None)`` is returned instead of silently halving
+    a plain eps tensor.
     """
-    c = et.shape[channel_axis]
+    if channels is not None and et.shape[channel_axis] == channels:
+        return et, None
     eps, var = jnp.split(et, 2, axis=channel_axis)
     return eps, var
 
@@ -210,7 +215,12 @@ def pixel_compute_eps_ddim(xt, xt_next, et, at, at_next, eta):
     at_b = bcast(at, nd)
     at_next_b = bcast(at_next, nd)
     x0_t = (xt - et * jnp.sqrt(1.0 - at_b)) / jnp.sqrt(at_b)
-    c1 = eta * jnp.sqrt((1.0 - at_b / at_next_b) * (1.0 - at_next_b) / (1.0 - at_b))
+    # same clamped radicand as pixel_ddim_step; c1 == 0 (duplicate grid
+    # timesteps, at == at_next) still divides to inf as in the reference —
+    # pixel_timestep_grid rejects such grids loudly at build time
+    c1 = eta * jnp.sqrt(
+        jnp.maximum((1.0 - at_b / at_next_b) * (1.0 - at_next_b) / (1.0 - at_b), 0.0)
+    )
     c2 = jnp.sqrt(jnp.maximum((1.0 - at_next_b) - c1 ** 2, 0.0))
     return (xt_next - jnp.sqrt(at_next_b) * x0_t - c2 * et) / c1
 

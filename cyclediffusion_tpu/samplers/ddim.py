@@ -66,6 +66,40 @@ def _chain_tables(sched: DDIMSchedule, refine_steps: int, length: int) -> _StepT
     )
 
 
+def _eps_with_fresh_tail(eps, refine_steps: int, x_T, key):
+    """Stored eps padded with fresh noise to ``refine_steps`` entries —
+    the reference's ``eps_list[:, i] if i < eps_list.shape[1] else None``
+    fallback (ddim.py:437), shared by every replay variant."""
+    n = 0 if eps is None else int(eps.shape[0])
+    if n < refine_steps:
+        assert key is not None, "fresh-noise steps need a PRNG key"
+        fresh = jax.random.normal(
+            key, (refine_steps - n,) + x_T.shape, x_T.dtype
+        )
+        return fresh if eps is None else jnp.concatenate([eps, fresh], axis=0)
+    return eps[:refine_steps]
+
+
+def _key_schedule(n: int, key_every: int, key_steps) -> jnp.ndarray:
+    """Boolean is-key-step mask for the encoder-caching fast mode; the first
+    step always populates the cache."""
+    if key_steps is None:
+        key_steps = np.arange(n) % max(1, int(key_every)) == 0
+    key_steps = np.asarray(key_steps, bool).copy()
+    key_steps[0] = True
+    return jnp.asarray(key_steps)
+
+
+def _zero_cache(model_fn_key, x, t0, bsz: int):
+    """Zero-filled encoder-feature cache matching model_fn_key's output
+    structure (scan carry initializer)."""
+    t0_vec = jnp.full((bsz,), t0, dtype=jnp.int32)
+    return jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(model_fn_key, x, t0_vec)[1],
+    )
+
+
 def num_recovered_eps(sched_steps: int, white_box_steps: int, skip_steps: int) -> int:
     """Number of eps tensors the DPM-Encoder recovers.
 
@@ -164,19 +198,11 @@ def dpm_encode_cached(
     if posterior_noises is None:
         posterior_noises = jax.random.normal(k_post, (n,) + x0.shape, x0.dtype)
 
-    if key_steps is None:
-        key_steps = np.arange(n) % max(1, int(key_every)) == 0
-    key_steps = np.asarray(key_steps, bool).copy()
-    key_steps[0] = True  # the first step must populate the cache
-    is_key = jnp.asarray(key_steps)
+    is_key = _key_schedule(n, key_every, key_steps)
 
     tables = _chain_tables(sched, refine_steps, n)
     bsz = x0.shape[0]
-    t0_vec = jnp.full((bsz,), tables.t[0], dtype=jnp.int32)
-    cache0 = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(model_fn_key, xT, t0_vec)[1],
-    )
+    cache0 = _zero_cache(model_fn_key, xT, tables.t[0], bsz)
 
     def body(carry, xs):
         xt, cache = carry
@@ -222,16 +248,7 @@ def ddim_decode(
     refine_steps = sched.num_steps - skip_steps
     assert refine_steps >= 1
 
-    n = 0 if eps is None else int(eps.shape[0])
-    if n < refine_steps:
-        assert key is not None, "fresh-noise steps need a PRNG key"
-        fresh = jax.random.normal(
-            key, (refine_steps - n,) + x_T.shape, x_T.dtype
-        )
-        eps_full = fresh if eps is None else jnp.concatenate([eps, fresh], axis=0)
-    else:
-        eps_full = eps[:refine_steps]
-
+    eps_full = _eps_with_fresh_tail(eps, refine_steps, x_T, key)
     tables = _chain_tables(sched, refine_steps, refine_steps)
     bsz = x_T.shape[0]
 
@@ -274,29 +291,12 @@ def ddim_decode_cached(
     refine_steps = sched.num_steps - skip_steps
     assert refine_steps >= 1
 
-    n = 0 if eps is None else int(eps.shape[0])
-    if n < refine_steps:
-        assert key is not None, "fresh-noise steps need a PRNG key"
-        fresh = jax.random.normal(
-            key, (refine_steps - n,) + x_T.shape, x_T.dtype
-        )
-        eps_full = fresh if eps is None else jnp.concatenate([eps, fresh], axis=0)
-    else:
-        eps_full = eps[:refine_steps]
-
-    if key_steps is None:
-        key_steps = np.arange(refine_steps) % max(1, int(key_every)) == 0
-    key_steps = np.asarray(key_steps, bool).copy()
-    key_steps[0] = True  # the first step must populate the cache
-    is_key = jnp.asarray(key_steps)
+    eps_full = _eps_with_fresh_tail(eps, refine_steps, x_T, key)
+    is_key = _key_schedule(refine_steps, key_every, key_steps)
 
     tables = _chain_tables(sched, refine_steps, refine_steps)
     bsz = x_T.shape[0]
-    t0_vec = jnp.full((bsz,), tables.t[0], dtype=jnp.int32)
-    cache0 = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype),
-        jax.eval_shape(model_fn_key, x_T, t0_vec)[1],
-    )
+    cache0 = _zero_cache(model_fn_key, x_T, tables.t[0], bsz)
 
     def body(carry, xs):
         x, cache = carry
@@ -395,14 +395,19 @@ def stochastic_decode(
     model_fn: EpsModel,
     sched: DDIMSchedule,
     x_t: jnp.ndarray,
-    t_index: int,
+    t_start: int,
     key: Optional[jax.Array] = None,
 ):
-    """Decode from DDIM index ``t_index`` down to 0 with fresh noise.
+    """Decode ``t_start`` steps down to 0 with fresh noise.
 
-    Parity: SD copy's ``decode`` (ddim.py:663-681).
+    Parity: SD copy's ``decode`` (ddim.py:663-681) — ``t_start`` is a step
+    COUNT (``timesteps[:t_start]``): the chain starts at index
+    ``t_start - 1``.  The img2img recipe is
+    ``stochastic_decode(f, sched, stochastic_encode(sched, x0, t_enc, k), t_enc)``
+    — note ``stochastic_encode`` noises at index ``t_enc`` while the first
+    decode step runs at index ``t_enc - 1``, exactly as in the reference.
     """
-    skip = sched.num_steps - (t_index + 1)
+    skip = sched.num_steps - t_start
     return ddim_decode(model_fn, sched, x_t, None, key, skip_steps=skip)
 
 

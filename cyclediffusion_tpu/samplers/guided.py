@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from cyclediffusion_tpu.ops import steps
 from cyclediffusion_tpu.ops.schedule import DDIMSchedule
-from cyclediffusion_tpu.samplers.ddim import EpsModel, _chain_tables
+from cyclediffusion_tpu.samplers.ddim import (
+    EpsModel,
+    _chain_tables,
+    _eps_with_fresh_tail,
+)
 
 # energy_fn(x_t, pred_x0, t) -> scalar (summed over the batch)
 EnergyFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -45,15 +49,7 @@ def energy_guided_decode(
 ):
     """ddim_decode with a per-step energy-gradient shift on the model eps."""
     refine_steps = sched.num_steps - skip_steps
-    n = 0 if eps is None else int(eps.shape[0])
-    if n < refine_steps:
-        assert key is not None
-        fresh = jax.random.normal(key, (refine_steps - n,) + x_T.shape,
-                                  x_T.dtype)
-        eps_full = fresh if eps is None else jnp.concatenate([eps, fresh], 0)
-    else:
-        eps_full = eps[:refine_steps]
-
+    eps_full = _eps_with_fresh_tail(eps, refine_steps, x_T, key)
     tables = _chain_tables(sched, refine_steps, refine_steps)
     bsz = x_T.shape[0]
 

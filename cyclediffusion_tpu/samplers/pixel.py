@@ -72,10 +72,7 @@ def _model_eps(model_fn: PixelModel, x, t_vec, learn_sigma: bool):
     (ddpm_ddim_wrapper.py:132-135, :240-242).
     """
     et = model_fn(x, t_vec)
-    if et.shape[-1] != x.shape[-1]:
-        et, var_values = steps.split_model_output(et)
-    else:
-        var_values = None
+    et, var_values = steps.split_model_output(et, channels=x.shape[-1])
     if learn_sigma:
         assert var_values is not None, "learn_sigma requires a 2C model output"
         return et, var_values

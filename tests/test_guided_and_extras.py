@@ -110,6 +110,13 @@ def test_gumbel_helpers():
     gs = gumbel_with_maximum(KEY, logits, target)
     assert int(jnp.argmax(gs, axis=-1)[0]) == 2
 
+    # the argmax constraint and finiteness must hold for EVERY key (a free
+    # Gumbel exceeding the drawn max used to produce NaN in ~half the draws)
+    for seed in range(50):
+        gs = gumbel_with_maximum(jax.random.PRNGKey(seed), logits, target)
+        assert bool(jnp.isfinite(gs).all()), seed
+        assert int(jnp.argmax(gs, axis=-1)[0]) == 2, seed
+
 
 def test_phase_counters():
     from cyclediffusion_tpu.runtime.profiling import PhaseCounters

@@ -55,3 +55,9 @@ def test_stochastic_encode_decode():
     out = stochastic_decode(fake_model, sched, x_t, t_index,
                             jax.random.PRNGKey(2))
     assert out.shape == x0.shape and bool(jnp.isfinite(out).all())
+    # reference convention: t_start is a step COUNT — decode(x, t) walks
+    # indices t-1..0, so it must equal ddim_decode with skip = S - t
+    from cyclediffusion_tpu.samplers.ddim import ddim_decode
+    ref = ddim_decode(fake_model, sched, x_t, None, jax.random.PRNGKey(2),
+                      skip_steps=sched.num_steps - t_index)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
