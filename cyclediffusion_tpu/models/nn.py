@@ -90,14 +90,14 @@ class GroupNorm(nn.Module):
         # one-hot group membership (C, G); folded to a constant by XLA
         member = (jnp.arange(c)[:, None] // (c // g)
                   == jnp.arange(g)[None, :]).astype(dtype)
-        # Data movement stays in the input dtype (bf16 on TPU halves the HBM
-        # traffic and avoids materializing fp32 copies of the activation);
-        # the MXU stat reductions accumulate in fp32.  The subtraction
-        # x - mean is exact-ish in bf16 (mean is fp32, rounded once) and the
-        # squared-difference reduction averages ~40k per-element roundings,
-        # so the var error is O(1e-4) relative — below bf16 activation
-        # quantization.  fp32 inputs (CPU parity tests) take the same code
-        # path with every op in fp32, i.e. the original math.
+        # HBM reads of the activation stay in the input dtype (bf16 on TPU
+        # halves the traffic); the stats themselves are computed in fp32 —
+        # two branches below: fp32/f64 inputs keep exact two-pass stats
+        # (mean, then var of x - mean: the CPU parity path), half inputs use
+        # one-pass E[x^2] - mean^2 with the square taken in fp32 in-register
+        # so both reductions read x in the same fusion pass (details at the
+        # branch).  The normalize + affine epilogue is fp32 either way,
+        # rounded once at the end (torch half-input behavior).
         flat = x.reshape(x.shape[0], spatial, c)
         # E[x] per (batch, group) via MXU, broadcast back with the transpose.
         # precision=HIGHEST so fp32 inputs stay exact on TPU (the default

@@ -46,6 +46,10 @@ class SplitInputParams:
     # First-stage spatial factor; None -> derived from the model's ch_mult
     # (the reference requires it explicitly, notebook_helpers.py:153-160)
     vqf: Optional[int] = None
+    # Patch micro-batch for the per-patch first-stage call (None = all
+    # B*L patches in one program); bound VAE memory at superres scale the
+    # same way the candidate ensemble micro-batches its 512px decodes
+    micro_batch: Optional[int] = None
     patch_distributed_vq: bool = True
     tie_braker: bool = False          # sic — reference key spelling
     clip_max_weight: float = 0.5
@@ -70,9 +74,10 @@ def _grid(hw: Tuple[int, int], ks, stride) -> Tuple[int, int]:
 
 def delta_border(h: int, w: int) -> np.ndarray:
     """Normalized min distance to the border, 0 at edge, 0.5 at center
-    (ddpm.py:565-577).  Returns (h, w) float64."""
-    y = np.arange(h, dtype=np.float64)[:, None] / (h - 1)
-    x = np.arange(w, dtype=np.float64)[None, :] / (w - 1)
+    (ddpm.py:565-577).  Returns (h, w) float64.  Size-1 dimensions count as
+    all-edge (distance 0) rather than the reference's 0/0 NaN."""
+    y = np.arange(h, dtype=np.float64)[:, None] / max(h - 1, 1)
+    x = np.arange(w, dtype=np.float64)[None, :] / max(w - 1, 1)
     arr = np.stack(np.broadcast_arrays(y, x), axis=-1)      # (h, w, 2)
     dist_lu = arr.min(axis=-1)
     dist_rd = (1.0 - arr).min(axis=-1)
@@ -178,6 +183,8 @@ def split_first_stage_apply(
 
     patches = unfold_nhwc(x, ks, stride)                 # (B, L, k, k, C)
     flat = patches.reshape((b * L,) + patches.shape[2:])
+    if micro_batch is None:
+        micro_batch = p.micro_batch
     if micro_batch is None or micro_batch >= b * L:
         dec = fn(flat)
     else:
@@ -195,6 +202,10 @@ def split_first_stage_apply(
 
     w = patch_weighting(oks, Ly, Lx, p)                  # (L, ok0, ok1)
     norm = fold_normalization(out_hw, oks, ostride, w)   # (H', W')
-    dec = dec * jnp.asarray(w)[None, :, :, :, None].astype(dec.dtype)
+    # blend in fp32 and round ONCE at the end: overlap bands accumulate up
+    # to 4 weighted contributions, and bf16 accumulation would leave a
+    # seam-aligned ~2^-8 error profile the reference's fp32 fold lacks
+    out_dtype = dec.dtype
+    dec = dec.astype(jnp.float32) * jnp.asarray(w)[None, :, :, :, None]
     out = fold_nhwc(dec, out_hw, ostride)
-    return out / jnp.asarray(norm)[None, :, :, None].astype(dec.dtype)
+    return (out / jnp.asarray(norm)[None, :, :, None]).astype(out_dtype)

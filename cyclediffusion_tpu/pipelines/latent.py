@@ -324,6 +324,18 @@ class LatentDiffusionCore:
         notebook_helpers.py:153-160); default to the model-derived factor."""
         return self._vqf if sip.vqf is None else sip.vqf
 
+    def guard_split_setting(self, traced) -> None:
+        """Raise if ``split_input_params`` changed after ``traced`` was
+        captured: jitted callers bake the setting at trace time, so a later
+        toggle would be SILENTLY ignored for already-compiled shapes.
+        Pipelines capture the value at construction and call this on entry."""
+        if self.split_input_params != traced:
+            raise RuntimeError(
+                "core.split_input_params changed after the pipeline's jitted "
+                "programs were traced (set it before constructing the "
+                f"pipeline): traced={traced!r}, now={self.split_input_params!r}"
+            )
+
     def encode_first_stage(self, image_m11, noise=None, params=None):
         """[-1,1] image -> x0 latent (KL: posterior sample x scale_factor).
 
@@ -424,6 +436,7 @@ class LatentDiffStochasticPipeline:
 
         self._encode_jit = jax.jit(self._encode_impl)
         self._generate_jit = jax.jit(self._generate_impl)
+        self._sip_at_trace = core.split_input_params
 
     def _cached_fns(self, params):
         """(key_fn, reuse_fn) for the unconditional cached UNet call."""
@@ -494,11 +507,13 @@ class LatentDiffStochasticPipeline:
 
     def encode(self, image01, key, class_label=None):
         assert image01.shape[1] == image01.shape[2] == self.resolution
+        self.core.guard_split_setting(self._sip_at_trace)
         z = self._encode_jit(self.core.params, image01, key)
         assert z.shape[1] == self.latent_dim
         return z
 
     def generate(self, z, key, class_label=None):
+        self.core.guard_split_setting(self._sip_at_trace)
         return self._generate_jit(self.core.params, z, key)
 
     def __call__(self, z, key, class_label=None):

@@ -111,6 +111,7 @@ class StochasticTextPipeline:
         self._decode_jit = jax.jit(
             lambda p, z: core.decode_first_stage(z, params=p)
         )
+        self._sip_at_trace = core.split_input_params
 
     # ---- mesh plumbing ---------------------------------------------------- #
 
@@ -302,6 +303,7 @@ class StochasticTextPipeline:
     def encode(self, image01, encode_text, key) -> List[jnp.ndarray]:
         """-> z_ensemble (list, order trial -> enc_scale -> skip), flattened."""
         assert image01.shape[1] == image01.shape[2] == self.resolution
+        self.core.guard_split_setting(self._sip_at_trace)
         bsz = image01.shape[0]
         k_vae, k_chains = jax.random.split(jnp.asarray(key))
         x0 = self._x0_jit(self.core.params, image01, k_vae)
@@ -357,6 +359,7 @@ class StochasticTextPipeline:
 
     def generate(self, z_ensemble, decode_text, key) -> List[jnp.ndarray]:
         """Each z x each decoder scale -> [0,1] image (order preserved)."""
+        self.core.guard_split_setting(self._sip_at_trace)
         bsz = z_ensemble[0].shape[0]
         c_ctx = self.get_condition(list(decode_text))
         uc_ctx = self.uncond(bsz)

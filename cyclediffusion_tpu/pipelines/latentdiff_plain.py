@@ -39,6 +39,7 @@ class LatentDiffPlainPipeline:
 
         self._encode_jit = jax.jit(self._encode_impl)
         self._generate_jit = jax.jit(self._generate_impl)
+        self._sip_at_trace = core.split_input_params
 
     def _encode_impl(self, params, image01, key):
         spec = self.core.spec
@@ -64,11 +65,13 @@ class LatentDiffPlainPipeline:
 
     def encode(self, image01, key, class_label=None):
         assert image01.shape[1] == image01.shape[2] == self.resolution
+        self.core.guard_split_setting(self._sip_at_trace)
         z = self._encode_jit(self.core.params, image01, key)
         assert z.shape[1] == self.latent_dim
         return z
 
     def generate(self, z, key, class_label=None):
+        self.core.guard_split_setting(self._sip_at_trace)
         return self._generate_jit(self.core.params, z, key)
 
     def __call__(self, z, key, class_label=None):

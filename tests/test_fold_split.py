@@ -209,6 +209,47 @@ def test_core_split_decode_single_tile_equals_plain(devices):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_delta_border_size1_is_finite():
+    """Size-1 patch-output dims count as all-edge, not the reference's 0/0."""
+    d = delta_border(1, 5)
+    assert np.isfinite(d).all() and (d[0, 0] == 0.0)
+    assert np.isfinite(delta_border(1, 1)).all()
+
+
+def test_split_apply_micro_batch_matches_single_call():
+    """p.micro_batch (incl. ragged tail padded to one compile shape) must not
+    change the result."""
+    p1 = SplitInputParams(ks=(8, 8), stride=(4, 4))
+    p2 = SplitInputParams(ks=(8, 8), stride=(4, 4), micro_batch=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 3)),
+                    jnp.float32)
+    fn = lambda z: z * 2.0 + 1.0
+    a = split_first_stage_apply(fn, x, p1, scale=1, upsample=True)
+    b = split_first_stage_apply(fn, x, p2, scale=1, upsample=True)  # 18 % 4 != 0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_pipeline_guards_stale_split_toggle(devices):
+    """Toggling core.split_input_params after the pipeline jitted must raise
+    (the traced programs bake the setting; silence would mean wrong output)."""
+    from cyclediffusion_tpu.pipelines.latent import (
+        LatentCoreSpec,
+        LatentDiffStochasticPipeline,
+        LatentDiffusionCore,
+    )
+
+    core = LatentDiffusionCore.random_init(
+        LatentCoreSpec.tiny(cond_kind=None), jax.random.PRNGKey(0))
+    pipe = LatentDiffStochasticPipeline(
+        core, custom_steps=4, white_box_steps=5, eta=0.1)
+    core.split_input_params = SplitInputParams()
+    img = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, core.spec.resolution, core.spec.resolution, 3))
+    with pytest.raises(RuntimeError, match="split_input_params changed"):
+        pipe.encode(img, jax.random.PRNGKey(2))
+    core.split_input_params = None
+
+
 def test_core_split_decode_multi_tile_shape(devices):
     """Overlapping multi-tile decode through the real VAE: right output
     geometry (latent x vqf) and finite values."""
