@@ -141,12 +141,16 @@ def select_ema_weights(sd: Flat, prefix: str = "model.diffusion_model.") -> Flat
     conversion must bake them in for use_ema checkpoints (FFHQ/CelebA LDM).
     """
     ema_prefix = "model_ema." + prefix.split(".", 1)[1].split(".")[0]
+    # shadow names drop the ROOT module component (LitEma is attached to
+    # `self.model`), so derive the strip from the prefix actually given
+    # instead of hardcoding "model."
+    root = prefix.split(".", 1)[0] + "."
     out = dict(sd)
     hits = 0
     for k in list(sd.keys()):
         if not k.startswith(prefix):
             continue
-        ema_key = "model_ema." + k[len("model."):].replace(".", "")
+        ema_key = "model_ema." + k[len(root):].replace(".", "")
         if ema_key in sd:
             out[k] = sd[ema_key]
             hits += 1

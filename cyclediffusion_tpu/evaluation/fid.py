@@ -22,6 +22,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# converted Inception params + jitted feature fn, keyed by ckpt path
+# (rebuilt only when the asset path changes)
+_INCEPTION_CACHE: dict = {}
+
 
 def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     """FID between two Gaussians (standard Heusel et al. formulation)."""
@@ -29,6 +33,16 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
 
     diff = mu1 - mu2
     covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        # near-singular product (small eval sets): retry with a jitter on
+        # the diagonals, exactly as pytorch-fid/clean-fid do — otherwise the
+        # NaN silently propagates into the saved metrics
+        eps = 1e-6
+        logger.warning(
+            "fid sqrtm produced non-finite values; retrying with eps=%g", eps)
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean, _ = scipy.linalg.sqrtm(
+            (sigma1 + offset) @ (sigma2 + offset), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
@@ -136,27 +150,38 @@ def _inception_features(images: np.ndarray) -> Optional[np.ndarray]:
     if not path or not os.path.exists(path):
         return None
 
-    # native path: a pytorch-fid state_dict asset, converted + run in Flax
-    try:
-        from cyclediffusion_tpu.convert.inception_import import convert_inception
-        from cyclediffusion_tpu.convert.torch_import import load_torch_state_dict
-        from cyclediffusion_tpu.models.inception import inception_pool3_features
+    # native path: a pytorch-fid state_dict asset, converted + run in Flax.
+    # The conversion (a ~100MB torch.load + BN fold) is cached per path —
+    # compute_fid_kid calls this twice per eval round, every round.
+    if _INCEPTION_CACHE.get("path") == path:
+        params = _INCEPTION_CACHE["params"]
+    else:
+        try:
+            from cyclediffusion_tpu.convert.inception_import import convert_inception
+            from cyclediffusion_tpu.convert.torch_import import load_torch_state_dict
 
-        params = convert_inception(load_torch_state_dict(path))
-    except Exception as e:  # noqa: BLE001 — fall back to torchscript, loudly
-        import warnings
+            params = convert_inception(load_torch_state_dict(path))
+        except Exception as e:  # noqa: BLE001 — fall back to torchscript, loudly
+            import warnings
 
-        warnings.warn(
-            f"native Inception conversion failed ({type(e).__name__}: {e}); "
-            f"trying torch.jit.load({path!r}) as a torchscript archive"
-        )
-        params = None
+            warnings.warn(
+                f"native Inception conversion failed ({type(e).__name__}: {e}); "
+                f"trying torch.jit.load({path!r}) as a torchscript archive"
+            )
+            params = None
+        _INCEPTION_CACHE["path"] = path
+        _INCEPTION_CACHE["params"] = params
 
     if params is not None:
         import jax
         import jax.numpy as jnp
 
-        feat_fn = jax.jit(inception_pool3_features)
+        from cyclediffusion_tpu.models.inception import inception_pool3_features
+
+        feat_fn = _INCEPTION_CACHE.get("feat_fn")
+        if feat_fn is None:
+            feat_fn = jax.jit(inception_pool3_features)
+            _INCEPTION_CACHE["feat_fn"] = feat_fn
         resized = _resize_299_bicubic(images)
         out = []
         for i in range(0, resized.shape[0], 32):

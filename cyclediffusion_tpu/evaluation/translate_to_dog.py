@@ -32,6 +32,9 @@ from cyclediffusion_tpu.evaluation.utils import (
 
 logger = logging.getLogger(__name__)
 
+# per-process cache of the resized reference set (eval-round-invariant)
+_REF_CACHE: dict = {}
+
 REF_ROOT = "stargan-v2/data/test/dog"
 
 
@@ -44,24 +47,26 @@ class Evaluator:
         assert split in ["eval", "test"]
         out_dir = self.meta_args.output_dir
         f_gen = os.path.join(out_dir, "temp_gen")
-        f_ref = os.path.join(out_dir, "temp_ref")
         ensure_empty_dir(f_gen)
-        ensure_empty_dir(f_ref)
 
-        ref_images = []
-        ref_root = resolve_path(REF_ROOT)
-        if os.path.isdir(ref_root):
-            for idx, file_name in enumerate(
-                list_image_files_recursively(ref_root)
-            ):
-                img = pil_loader(file_name)
-                assert img.size == (512, 512)
-                arr = to_array(resize(img, 256, INTERPOLATION))
-                ref_images.append(arr)
-                save_image(os.path.join(f_ref, f"{idx}.png"), arr)
-        else:
-            logger.warning("reference dog set missing at %s; FID/KID skipped",
-                           ref_root)
+        # the resized reference set is eval-round-invariant: decode it once
+        # per process and reuse (the reference re-dumps it to temp_ref every
+        # round only because clean-fid's folder API needed it; our FID/KID
+        # consumes the in-memory stack)
+        ref_images = _REF_CACHE.get("images")
+        if ref_images is None:
+            ref_images = []
+            ref_root = resolve_path(REF_ROOT)
+            if os.path.isdir(ref_root):
+                for file_name in list_image_files_recursively(ref_root):
+                    img = pil_loader(file_name)
+                    assert img.size == (512, 512)
+                    ref_images.append(to_array(resize(img, 256, INTERPOLATION)))
+            else:
+                logger.warning(
+                    "reference dog set missing at %s; FID/KID skipped",
+                    ref_root)
+            _REF_CACHE["images"] = ref_images
 
         n = len(images)
         all_psnr = all_ssim = all_l2 = 0.0

@@ -32,8 +32,13 @@ def clip_asset_paths():
 
 def get_directional_clip(required: bool = True):
     """Build (once) the shared DirectionalCLIP scorer from assets."""
-    if "dclip" in _CACHE:
+    if _CACHE.get("dclip") is not None:
         return _CACHE["dclip"]
+    if "dclip" in _CACHE and not required:
+        # a previous optional call already found the assets missing
+        return None
+    # fall through: either never resolved, or a required call must get the
+    # loud FileNotFoundError a cached None from an optional call would mask
     ckpt, bpe = clip_asset_paths()
     if not ckpt or not bpe or not os.path.exists(ckpt) or not os.path.exists(bpe):
         msg = (

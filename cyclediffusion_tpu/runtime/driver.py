@@ -332,6 +332,11 @@ class Driver:
                 params[attr] = wrapper.params
             elif hasattr(wrapper, "core"):
                 params[attr] = wrapper.core.params
+        # the tree actually being optimized (if any) — without it a resumed
+        # run would silently restore frozen pipeline weights only
+        trainable = getattr(self.model, "trainable_params", None)
+        if trainable is not None:
+            params["trainable_params"] = trainable
         return params
 
     def load_model(self, checkpoint_dir: str) -> None:
@@ -342,6 +347,9 @@ class Driver:
         with open(path, "rb") as f:
             restored = serialization.from_bytes(template, f.read())
         for attr, params in restored.items():
+            if attr == "trainable_params":
+                self.model.trainable_params = params
+                continue
             wrapper = getattr(self.model, attr)
             if hasattr(wrapper, "params"):
                 wrapper.params = params
@@ -477,13 +485,18 @@ class Driver:
         total = int(getattr(self.args, "max_steps", 0))
         sched_name = getattr(self.args, "lr_scheduler_type", "constant")
         if sched_name == "linear" and total > 0:
-            lr_sched = optax.join_schedules(
-                [
-                    optax.linear_schedule(0.0, lr, max(warmup, 1)),
-                    optax.linear_schedule(lr, 0.0, max(total - warmup, 1)),
-                ],
-                boundaries=[max(warmup, 1)],
-            )
+            if warmup > 0:
+                lr_sched = optax.join_schedules(
+                    [
+                        optax.linear_schedule(0.0, lr, warmup),
+                        optax.linear_schedule(lr, 0.0, max(total - warmup, 1)),
+                    ],
+                    boundaries=[warmup],
+                )
+            else:
+                # no warmup: start at full lr (HF schedule parity :190-202 —
+                # a synthetic 1-step warmup would zero the first update)
+                lr_sched = optax.linear_schedule(lr, 0.0, total)
         elif warmup > 0:
             lr_sched = optax.linear_schedule(0.0, lr, warmup)
         else:
@@ -542,7 +555,21 @@ class Driver:
         rng = _np.random.RandomState(int(getattr(self.args, "seed", 0)))
         key = jax.random.PRNGKey(int(getattr(self.args, "seed", 0)))
         steps = 0
+        loss = None
         import optax
+
+        def _allreduce_mean(tree):
+            """Average a grad tree across processes (reference DDP grad
+            averaging, trainer.py:174-179) — without this, multi-process
+            parameter replicas silently diverge after the first step."""
+            if self.process_count <= 1:
+                return tree
+            from jax.experimental import multihost_utils
+
+            return jax.tree.map(
+                lambda g: multihost_utils.process_allgather(g).mean(axis=0),
+                tree,
+            )
 
         for epoch in range(epochs):
             # reset per epoch: a ragged tail (epoch length not a multiple of
@@ -566,6 +593,7 @@ class Driver:
                 )
                 if (i // batch_size + 1) % accum == 0:
                     mean_grads = jax.tree.map(lambda g: g / accum, accum_grads)
+                    mean_grads = _allreduce_mean(mean_grads)
                     updates, opt_state = tx.update(mean_grads, opt_state,
                                                    params)
                     params = optax.apply_updates(params, updates)
@@ -576,7 +604,12 @@ class Driver:
                         self.log({"loss": float(loss), "epoch": epoch})
                     if save_steps and steps % save_steps == 0:
                         self.model.trainable_params = params
-                        self._save_checkpoint()
+                        # best-model tracking needs eval metrics at save time
+                        # (parity _maybe_log_save_evaluate :509-563)
+                        metrics = (self.evaluate() if getattr(
+                            self.args, "metric_for_best_model", None)
+                            else None)
+                        self._save_checkpoint(metrics)
             self.state.epoch = float(epoch + 1)
 
         self.model.trainable_params = params
@@ -589,6 +622,14 @@ class Driver:
             self.load_model(self.state.best_model_checkpoint)
         metrics = speed_metrics("train", start, num_samples=n_train * epochs,
                                 num_steps=steps)
-        metrics["train_loss"] = float(loss)
+        if loss is not None:
+            metrics["train_loss"] = float(loss)
+        else:
+            # per-process shard smaller than the batch size: no step ran
+            logger.warning(
+                "No optimizer step ran: per-process shard (%d examples) is "
+                "smaller than per_device_train_batch_size=%d.",
+                len(shard), batch_size,
+            )
         self.log(dict(metrics))
         return metrics
