@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -207,15 +208,6 @@ def flash_attention_packed(q, k, v, num_heads: int, sm_scale: float, *,
     assert hd % num_heads == 0
     d = hd // num_heads
 
-    # Mosaic's scoped-VMEM stack estimate grows (weakly) with the leading
-    # grid extent: at hd=320 the (512, 2048) blocks fit at b<=8 (~15.x MB of
-    # the 16MB budget) but overflow at b=30 (16.8MB, compile OOM).  Shrink
-    # the K block for big batches — measured 3.33 -> 3.79 ms/call at b=8
-    # equivalent shapes, a fair trade for compiling at all; b<=8 (the bench
-    # and default eval paths) keeps the tuned block and its cached programs.
-    if b > 8 and block_k > 1024:
-        block_k = 1024
-
     block_q = min(block_q, max(8, tq))
     block_k = min(block_k, ((tk + 127) // 128) * 128)
     tq_pad = ((tq + block_q - 1) // block_q) * block_q
@@ -250,6 +242,21 @@ def flash_attention_packed(q, k, v, num_heads: int, sm_scale: float, *,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Mosaic's conservative scoped-VMEM estimate grows (weakly) with
+            # the leading grid extent and with the upstream producer's HLO
+            # layout: at hd=320 / (512, 2048) blocks it reads ~15.x MB at
+            # small b but 16.77 MB under the fused-qkv producer at b=8 and
+            # 16.8 MB at b=30 — over the 16 MB DEFAULT limit, though the
+            # kernel's actual live buffers total ~8 MB (double-buffered
+            # q/k/v/o blocks + fp32 scratch) and v5e has 128 MB physical
+            # VMEM.  Raise the limit so the tuned block_k compiles at every
+            # batch instead of degrading (the old b>8 -> block_k=1024 cap
+            # cost ~14% per image on the 30-candidate ensemble and still
+            # broke at b=8 exactly: BENCH_r03 rc=1).  The env override
+            # exists so tools/preflight.py can prove it would catch the
+            # regression (set 16 to reproduce the r3 compile OOM).
+            vmem_limit_bytes=int(os.environ.get(
+                "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "96")) * 1024 * 1024,
         ),
         interpret=interpret,
     )(qp, kp, vp)
@@ -275,6 +282,11 @@ def multi_head_attention_fused(q, k, v, num_heads: int,
     d = width // num_heads
     sm_scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
+    # escape hatch (read at trace time): lets bench.py retrace the chain on
+    # the einsum path if a Pallas compile ever fails on the chip, so SOME
+    # throughput number always lands (BENCH_r03 post-mortem)
+    if os.environ.get("CYCLEDIFFUSION_NO_FLASH_ATTN") == "1":
+        on_tpu = False
 
     # dispatch measured on v5e (tools/attn_probe.py, CFG batch 8):
     # * 4096-token self-attention: packed token-major kernel 3.3 ms vs
