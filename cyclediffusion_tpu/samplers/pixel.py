@@ -195,6 +195,9 @@ def pixel_generate(
     learn_sigma: bool = False,
     refine_steps: int = 0,
     refine_iterations: int = 1,
+    final_noise: Optional[jnp.ndarray] = None,
+    refine_q_noises: Optional[jnp.ndarray] = None,
+    refine_chain_noises: Optional[jnp.ndarray] = None,
 ):
     """Replay the pixel chain from a latent code, then optional refinement.
 
@@ -202,6 +205,14 @@ def pixel_generate(
     noise (reference :424-429).  Refinement re-noises to ``refine_steps - 1``
     and re-denoises the first ``refine_steps`` grid entries at eta=1 with
     fresh noise, ``refine_iterations`` times (reference :431-453).
+
+    The ``*_noise(s)`` seams inject the exact draws for torch-parity
+    validation (tools/parity_r4.py; same pattern as ``pixel_encode``):
+    ``final_noise`` the last replay step's fresh draw (zero-coefficient at
+    t_next = -1 for eta-DDIM, variance-weighted for DDPM),
+    ``refine_q_noises`` ``(refine_iterations,) + x.shape`` re-noise draws,
+    ``refine_chain_noises`` ``(refine_iterations, refine_steps) + x.shape``
+    per-step draws of the eta=1 refine chains.
     """
     if sample_type == "ddim":
         assert eta is not None
@@ -209,8 +220,9 @@ def pixel_generate(
     assert eps.shape[0] == es - 1, (eps.shape, es)
 
     keys = jax.random.split(key, 1 + refine_iterations * 2)
-    fresh_last = jax.random.normal(keys[0], (1,) + x_T.shape, x_T.dtype)
-    eps_full = jnp.concatenate([eps, fresh_last], axis=0)
+    if final_noise is None:
+        final_noise = jax.random.normal(keys[0], x_T.shape, x_T.dtype)
+    eps_full = jnp.concatenate([eps, final_noise[None]], axis=0)
 
     tables = _pixel_tables(ps, seq, seq_next)
     x = _denoise_chain(
@@ -224,13 +236,15 @@ def pixel_generate(
         for r in range(refine_iterations):
             k_q, k_chain = keys[1 + 2 * r], keys[2 + 2 * r]
             # reference: sample_xt at raw timestep value refine_steps - 1 (:436-438)
-            xt = steps.q_sample(
-                x,
-                ps.alphas_cumprod[refine_steps - 1],
-                jax.random.normal(k_q, x.shape, x.dtype),
+            q_noise = (
+                refine_q_noises[r] if refine_q_noises is not None
+                else jax.random.normal(k_q, x.shape, x.dtype)
             )
-            fresh = jax.random.normal(
-                k_chain, (refine_steps,) + x.shape, x.dtype
+            xt = steps.q_sample(x, ps.alphas_cumprod[refine_steps - 1], q_noise)
+            fresh = (
+                refine_chain_noises[r] if refine_chain_noises is not None
+                else jax.random.normal(k_chain, (refine_steps,) + x.shape,
+                                       x.dtype)
             )
             x = _denoise_chain(
                 model_fn, r_tables, xt, fresh,
