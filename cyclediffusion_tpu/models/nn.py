@@ -106,7 +106,11 @@ class GroupNorm(nn.Module):
         highest = jax.lax.Precision.HIGHEST
         memberT = member.astype(jnp.float32).T
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
-        if dtype not in (jnp.bfloat16, jnp.float16):
+        # trace-time A/B seam (tools/ab_core.py): forces the round-2 two-pass
+        # stats for half inputs too, to attribute the one-pass delta on chip
+        import os
+        twopass = os.environ.get("CYCLEDIFFUSION_TWOPASS_GN") == "1"
+        if twopass or dtype not in (jnp.bfloat16, jnp.float16):
             # exact two-pass stats (mean, then var of x - mean): the CPU /
             # parity path, bit-stable vs the torch oracle tolerances
             gsum = jnp.einsum("bsc,cg->bg", flat, member,

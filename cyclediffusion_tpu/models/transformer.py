@@ -40,11 +40,16 @@ class CrossAttention(nn.Module):
     """Multi-head attention, q from x, k/v from context (or x if None).
 
     Parity: ``ldm/modules/attention.py:152-193`` (bias-free q/k/v, 1/sqrt(d)
-    scale, biased output projection).  TPU note: for SELF-attention the
-    three projections share the input, so the kernels are concatenated and
-    applied as one (C, 3*inner) matmul — one MXU dispatch and one read of
-    the (B, T, C) activation instead of three (the 4096-token ds1 blocks
-    are HBM-bound on activation reads).
+    scale, biased output projection).  TPU note: concatenating the q/k/v
+    kernels into one (C, 3*inner) matmul reads the (B, T, C) activation once
+    instead of three times, but the wide-output-then-slice producer forces
+    layout-constrained copies into the Pallas flash kernel's operands —
+    measured 0.5 ms/step SLOWER at the SD bench shape (PERF.md round 4 A/B,
+    tools/ab_core.py) AND it pushed Mosaic's scoped-VMEM estimate over the
+    default limit (BENCH_r03 rc=1).  Separate matmuls are therefore the
+    default; CYCLEDIFFUSION_FUSED_QKV=1 re-enables the fused producer for
+    future re-measurement.  The _Kernel param holders keep the reference's
+    to_q/to_k/to_v param tree either way.
     """
 
     heads: int
@@ -59,10 +64,23 @@ class CrossAttention(nn.Module):
         ctx_dim = query_dim if context is None else context.shape[-1]
         wk = _Kernel((ctx_dim, inner), name="to_k")()
         wv = _Kernel((ctx_dim, inner), name="to_v")()
+        # trace-time A/B seam (tools/ab_core.py): fused producer opt-in only
+        # (see class docstring for the round-4 measurement)
+        import os
+        fuse = os.environ.get("CYCLEDIFFUSION_FUSED_QKV") == "1"
         xd = x.astype(self.dtype)
-        if context is None:
+        if context is None and fuse:
             qkv = xd @ jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif context is None:
+            q = xd @ wq.astype(self.dtype)
+            k = xd @ wk.astype(self.dtype)
+            v = xd @ wv.astype(self.dtype)
+        elif not fuse:
+            cd = context.astype(self.dtype)
+            q = xd @ wq.astype(self.dtype)
+            k = cd @ wk.astype(self.dtype)
+            v = cd @ wv.astype(self.dtype)
         else:
             cd = context.astype(self.dtype)
             q = xd @ wq.astype(self.dtype)
