@@ -36,6 +36,22 @@ class _Kernel(nn.Module):
         return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
+class _KernelBias(nn.Module):
+    """Dense kernel+bias holder: same param tree and initializers as
+    ``nn.Dense`` ({name: {kernel, bias}}), matmul owned by the caller — lets
+    the folded-attention path hand the output projection to the Pallas
+    kernel while the converter / checkpoints see the reference's to_out."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(), self.shape),
+            self.param("bias", nn.initializers.zeros, (self.shape[1],)),
+        )
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention, q from x, k/v from context (or x if None).
 
@@ -64,11 +80,24 @@ class CrossAttention(nn.Module):
         ctx_dim = query_dim if context is None else context.shape[-1]
         wk = _Kernel((ctx_dim, inner), name="to_k")()
         wv = _Kernel((ctx_dim, inner), name="to_v")()
+        wo, bo = _KernelBias((inner, query_dim), name="to_out_0")()
         # trace-time A/B seam (tools/ab_core.py): fused producer opt-in only
         # (see class docstring for the round-4 measurement)
         import os
         fuse = os.environ.get("CYCLEDIFFUSION_FUSED_QKV") == "1"
         xd = x.astype(self.dtype)
+        if (context is None and x.shape[1] >= 2048
+                and os.environ.get("CYCLEDIFFUSION_FOLDED_ATTN") == "1"
+                and jax.default_backend() == "tpu"):
+            # opt-in whole-block Pallas kernel: qkv + flash + out projection
+            # folded, so q/k/v/attn-out never round-trip HBM (A/B pending
+            # on-chip measurement before it can become the default)
+            from cyclediffusion_tpu.ops.flash_attention import (
+                fused_self_attention_block)
+            return fused_self_attention_block(
+                xd, wq.astype(self.dtype), wk.astype(self.dtype),
+                wv.astype(self.dtype), wo.astype(self.dtype),
+                bo.astype(self.dtype), self.heads)
         if context is None and fuse:
             qkv = xd @ jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -87,7 +116,7 @@ class CrossAttention(nn.Module):
             kv = cd @ jnp.concatenate([wk, wv], axis=1).astype(self.dtype)
             k, v = jnp.split(kv, 2, axis=-1)
         out = multi_head_attention(q, k, v, self.heads)
-        return nn.Dense(query_dim, dtype=self.dtype, name="to_out_0")(out)
+        return out @ wo.astype(self.dtype) + bo.astype(self.dtype)
 
 
 class GEGLU(nn.Module):

@@ -263,6 +263,167 @@ def flash_attention_packed(q, k, v, num_heads: int, sm_scale: float, *,
     return out[:, :tq, :]
 
 
+def _folded_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
+                   o_ref, q_scr, k_scr, v_scr, m_ref, l_ref, acc_ref, *,
+                   sm_scale: float, num_heads: int, head_dim: int,
+                   kv_actual: int, block_k: int):
+    """Whole self-attention block per program: qkv + flash + out projection.
+
+    Extends ``_packed_kernel`` by folding the surrounding matmuls into the
+    kernel so the (B, T, H*D) q/k/v/attn-out tensors never round-trip HBM
+    (reference producers: ``ldm/modules/attention.py:152-193`` to_q/to_k/
+    to_v/to_out).  Grid (b, qi, kb) as before; per (b, qi) the q projection
+    is computed once at kb==0 into scratch; per b the k/v projections are
+    computed once during the qi==0 walk (one kb block per step) and cached
+    in (Tk, H*D) scratch for every later q-block; the output projection +
+    bias runs at the kb==nk-1 flush on the normalized accumulator.  Same
+    FLOPs as the unfused path — only the HBM traffic changes.
+    """
+    qi = pl.program_id(1)
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q_scr[:] = jax.lax.dot_general(
+            xq_ref[0], wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(q_scr.dtype)
+
+    @pl.when(qi == 0)
+    def _project_kv():
+        xkv = xkv_ref[0]
+        rows = pl.ds(kb * block_k, block_k)
+        k_scr[rows, :] = jax.lax.dot_general(
+            xkv, wk_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(k_scr.dtype)
+        v_scr[rows, :] = jax.lax.dot_general(
+            xkv, wv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(v_scr.dtype)
+
+    bq = q_scr.shape[0]
+    mask = None
+    if kv_actual < block_k * nk:
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        mask = col < kv_actual
+
+    rows = pl.ds(kb * block_k, block_k)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_scr[:, sl]
+        kh = k_scr[rows, sl]
+        vh = v_scr[rows, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, h:h + 1]
+        l_prev = l_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new).astype(vh.dtype)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:, h:h + 1] = m_new
+        v_aug = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+        out_aug = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+
+    @pl.when(kb == nk - 1)
+    def _flush():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            acc_ref[:, sl] = acc_ref[:, sl] / l_ref[:, h:h + 1]
+        attn = acc_ref[:].astype(q_scr.dtype)
+        out = jax.lax.dot_general(
+            attn, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_self_attention_block(x, wq, wk, wv, wo, bo, num_heads: int, *,
+                               block_q: int = 512, block_k: int = 2048,
+                               interpret: bool = False):
+    """Folded self-attention block: x (B, T, C) of already-normed tokens ->
+    ``(softmax(xWq (xWk)^T / sqrt(d)) xWv) Wo + bo`` of shape (B, T, C).
+
+    The residual add stays with the caller.  wq/wk/wv: (C, H*D); wo:
+    (H*D, C); bo: (C,).  All weights are cast to x.dtype by the caller.
+    """
+    b, tq, c = x.shape
+    hd = wq.shape[1]
+    assert hd % num_heads == 0
+    d = hd // num_heads
+    sm_scale = 1.0 / math.sqrt(d)
+    tk = tq
+
+    block_q = min(block_q, max(8, tq))
+    block_k = min(block_k, ((tk + 127) // 128) * 128)
+    tq_pad = ((tq + block_q - 1) // block_q) * block_q
+    tk_pad = ((tk + block_k - 1) // block_k) * block_k
+    xq = _pad_to(x, tq_pad, 1)
+    xkv = _pad_to(x, tk_pad, 1)
+    bo2 = bo.reshape(1, c)
+
+    kernel = functools.partial(
+        _folded_kernel, sm_scale=sm_scale, num_heads=num_heads, head_dim=d,
+        kv_actual=tk, block_k=block_k,
+    )
+    grid = (b, tq_pad // block_q, tk_pad // block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda b, qi, kb: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, c), lambda b, qi, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, c), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda b, qi, kb: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, hd), x.dtype),                       # q
+            pltpu.VMEM((tk_pad, hd), x.dtype),                        # k
+            pltpu.VMEM((tk_pad, hd), x.dtype),                        # v
+            pltpu.VMEM((block_q, max(128, num_heads)), jnp.float32),  # m
+            pltpu.VMEM((block_q, max(128, num_heads)), jnp.float32),  # l
+            pltpu.VMEM((block_q, hd), jnp.float32),                   # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # k/v scratch persists across the qi walk, so qi is sequential
+            # ("arbitrary") too; see _packed_kernel for the vmem_limit note
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "96")) * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xq, xkv, wq, wk, wv, wo, bo2)
+    return out[:, :tq, :]
+
+
 def attention_reference(q, k, v, sm_scale: float):
     """Naive einsum attention (fp32 softmax) — the fallback / oracle."""
     logits = jnp.einsum(

@@ -65,6 +65,66 @@ def test_packed_matches_reference_fp32(tq, tk, d, heads):
                                rtol=1e-5, atol=1e-5)
 
 
+def _folded_reference(x, wq, wk, wv, wo, bo, heads):
+    b, t, c = x.shape
+    d = wq.shape[1] // heads
+    q, k, v = x @ wq, x @ wk, x @ wv
+    qh = q.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    out = attention_reference(qh, kh, vh, 1.0 / np.sqrt(d))
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, heads * d)
+    return out @ wo + bo
+
+
+@pytest.mark.parametrize("t,c,heads,d,bq,bk", [
+    (2048, 320, 8, 40, 512, 2048),   # SD ds1 geometry (single k block)
+    (512, 64, 4, 16, 128, 256),      # multi qi x multi kb: scratch reuse
+    (1000, 64, 4, 16, 512, 2048),    # non-multiple T: key masking + padding
+])
+def test_folded_block_matches_reference_fp32(t, c, heads, d, bq, bk):
+    from cyclediffusion_tpu.ops.flash_attention import fused_self_attention_block
+
+    b, hd = 2, heads * d
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, t, c))
+    wq = jax.random.normal(ks[1], (c, hd)) / np.sqrt(c)
+    wk = jax.random.normal(ks[2], (c, hd)) / np.sqrt(c)
+    wv = jax.random.normal(ks[3], (c, hd)) / np.sqrt(c)
+    wo = jax.random.normal(ks[4], (hd, c)) / np.sqrt(hd)
+    bo = jax.random.normal(ks[5], (c,))
+    out = fused_self_attention_block(
+        x, wq, wk, wv, wo, bo, heads, block_q=bq, block_k=bk, interpret=True)
+    ref = _folded_reference(x, wq, wk, wv, wo, bo, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_block_matches_module_bf16():
+    """The folded kernel must reproduce CrossAttention's unfused self-attn
+    path from the module's own param tree (wiring + dtype policy)."""
+    import flax.linen as fnn
+
+    from cyclediffusion_tpu.models.transformer import CrossAttention
+    from cyclediffusion_tpu.ops.flash_attention import fused_self_attention_block
+
+    b, t, c, heads, d = 1, 256, 64, 4, 16
+    mod = CrossAttention(heads=heads, dim_head=d, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, c), jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    ref = mod.apply(params, x)
+    p = params["params"]
+    out = fused_self_attention_block(
+        x, p["to_q"]["kernel"].astype(jnp.bfloat16),
+        p["to_k"]["kernel"].astype(jnp.bfloat16),
+        p["to_v"]["kernel"].astype(jnp.bfloat16),
+        p["to_out_0"]["kernel"].astype(jnp.bfloat16),
+        p["to_out_0"]["bias"].astype(jnp.bfloat16),
+        heads, block_q=128, block_k=128, interpret=True)
+    err = float(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max())
+    assert err < 3e-2, err
+
+
 def test_dispatch_falls_back_off_tpu():
     # on CPU the dispatcher must take the einsum path and agree exactly
     b, t, heads, d = 2, 2048, 4, 32
