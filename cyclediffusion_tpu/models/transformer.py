@@ -86,17 +86,27 @@ class CrossAttention(nn.Module):
         import os
         fuse = os.environ.get("CYCLEDIFFUSION_FUSED_QKV") == "1"
         xd = x.astype(self.dtype)
-        if (context is None and x.shape[1] >= 2048
-                and os.environ.get("CYCLEDIFFUSION_FOLDED_ATTN") == "1"
+        folded = os.environ.get("CYCLEDIFFUSION_FOLDED_ATTN")
+        if (context is None and x.shape[1] >= 2048 and folded in ("1", "qo")
                 and jax.default_backend() == "tpu"):
-            # opt-in whole-block Pallas kernel: qkv + flash + out projection
-            # folded, so q/k/v/attn-out never round-trip HBM (A/B pending
-            # on-chip measurement before it can become the default)
+            # opt-in whole-block Pallas kernels (PERF.md round-4 A/B: both
+            # measured slightly SLOWER than the dispatch default at the SD
+            # bench shape, so neither is the default):
+            #  "1"  — qkv + flash + out projection all folded
+            #  "qo" — q + out folded, k/v precomputed (qi stays parallel)
+            if folded == "1":
+                from cyclediffusion_tpu.ops.flash_attention import (
+                    fused_self_attention_block)
+                return fused_self_attention_block(
+                    xd, wq.astype(self.dtype), wk.astype(self.dtype),
+                    wv.astype(self.dtype), wo.astype(self.dtype),
+                    bo.astype(self.dtype), self.heads)
             from cyclediffusion_tpu.ops.flash_attention import (
-                fused_self_attention_block)
-            return fused_self_attention_block(
-                xd, wq.astype(self.dtype), wk.astype(self.dtype),
-                wv.astype(self.dtype), wo.astype(self.dtype),
+                qout_self_attention_block)
+            k = xd @ wk.astype(self.dtype)
+            v = xd @ wv.astype(self.dtype)
+            return qout_self_attention_block(
+                xd, wq.astype(self.dtype), k, v, wo.astype(self.dtype),
                 bo.astype(self.dtype), self.heads)
         if context is None and fuse:
             qkv = xd @ jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)

@@ -353,6 +353,139 @@ def _folded_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
         o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _qout_kernel(xq_ref, k_ref, v_ref, wq_ref, wo_ref, bo_ref, o_ref,
+                 q_scr, m_ref, l_ref, acc_ref, *, sm_scale: float,
+                 num_heads: int, head_dim: int, kv_actual: int,
+                 block_k: int):
+    """Packed flash kernel with only the q and out projections folded.
+
+    Unlike ``_folded_kernel`` this keeps k/v as precomputed inputs, so there
+    is no cross-q-block scratch and the qi grid dimension stays parallel —
+    the A/B seam between "fold everything" and "fold nothing" (PERF.md
+    round-4: the full fold's qi serialization + x re-fetches cost more than
+    the k/v HBM round-trips it saves).
+    """
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q_scr[:] = jax.lax.dot_general(
+            xq_ref[0], wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(q_scr.dtype)
+
+    bq = q_scr.shape[0]
+    mask = None
+    if kv_actual < block_k * nk:
+        col = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        mask = col < kv_actual
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_scr[:, sl]
+        kh = k_ref[0][:, sl]
+        vh = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, h:h + 1]
+        l_prev = l_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new).astype(vh.dtype)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:, h:h + 1] = m_new
+        v_aug = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+        out_aug = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+
+    @pl.when(kb == nk - 1)
+    def _flush():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            acc_ref[:, sl] = acc_ref[:, sl] / l_ref[:, h:h + 1]
+        attn = acc_ref[:].astype(q_scr.dtype)
+        out = jax.lax.dot_general(
+            attn, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:].astype(jnp.float32)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+def qout_self_attention_block(x, wq, k, v, wo, bo, num_heads: int, *,
+                              block_q: int = 512, block_k: int = 2048,
+                              interpret: bool = False):
+    """q/out-folded flash attention: x (B, T, C) normed tokens, k/v
+    (B, Tk, H*D) precomputed -> (B, T, C) projected attention output."""
+    b, tq, c = x.shape
+    hd = wq.shape[1]
+    tk = k.shape[1]
+    assert hd % num_heads == 0
+    d = hd // num_heads
+    sm_scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, max(8, tq))
+    block_k = min(block_k, ((tk + 127) // 128) * 128)
+    tq_pad = ((tq + block_q - 1) // block_q) * block_q
+    tk_pad = ((tk + block_k - 1) // block_k) * block_k
+    xq = _pad_to(x, tq_pad, 1)
+    kp = _pad_to(k, tk_pad, 1)
+    vp = _pad_to(v, tk_pad, 1)
+    bo2 = bo.reshape(1, c)
+
+    kernel = functools.partial(
+        _qout_kernel, sm_scale=sm_scale, num_heads=num_heads, head_dim=d,
+        kv_actual=tk, block_k=block_k,
+    )
+    grid = (b, tq_pad // block_q, tk_pad // block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda b, qi, kb: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda b, qi, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda b, qi, kb: (b, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hd), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, c), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, qi, kb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda b, qi, kb: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, hd), x.dtype),                       # q
+            pltpu.VMEM((block_q, max(128, num_heads)), jnp.float32),  # m
+            pltpu.VMEM((block_q, max(128, num_heads)), jnp.float32),  # l
+            pltpu.VMEM((block_q, hd), jnp.float32),                   # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "96")) * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xq, kp, vp, wq, wo, bo2)
+    return out[:, :tq, :]
+
+
 def fused_self_attention_block(x, wq, wk, wv, wo, bo, num_heads: int, *,
                                block_q: int = 512, block_k: int = 2048,
                                interpret: bool = False):

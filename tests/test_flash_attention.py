@@ -100,6 +100,29 @@ def test_folded_block_matches_reference_fp32(t, c, heads, d, bq, bk):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("t,c,heads,d,bq,bk", [
+    (512, 64, 4, 16, 128, 256),      # multi qi x multi kb
+    (1000, 64, 4, 16, 512, 2048),    # non-multiple T: key masking + padding
+])
+def test_qout_block_matches_reference_fp32(t, c, heads, d, bq, bk):
+    from cyclediffusion_tpu.ops.flash_attention import qout_self_attention_block
+
+    b, hd = 2, heads * d
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = jax.random.normal(ks[0], (b, t, c))
+    wq = jax.random.normal(ks[1], (c, hd)) / np.sqrt(c)
+    wk = jax.random.normal(ks[2], (c, hd)) / np.sqrt(c)
+    wv = jax.random.normal(ks[3], (c, hd)) / np.sqrt(c)
+    wo = jax.random.normal(ks[4], (hd, c)) / np.sqrt(hd)
+    bo = jax.random.normal(ks[5], (c,))
+    out = qout_self_attention_block(
+        x, wq, x @ wk, x @ wv, wo, bo, heads,
+        block_q=bq, block_k=bk, interpret=True)
+    ref = _folded_reference(x, wq, wk, wv, wo, bo, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_folded_block_matches_module_bf16():
     """The folded kernel must reproduce CrossAttention's unfused self-attn
     path from the module's own param tree (wiring + dtype policy)."""
