@@ -60,7 +60,7 @@ def main():
             "fused_qkv": os.environ.get("CYCLEDIFFUSION_FUSED_QKV") == "1",
             "twopass_gn": os.environ.get("CYCLEDIFFUSION_TWOPASS_GN") == "1",
             "no_flash": os.environ.get("CYCLEDIFFUSION_NO_FLASH_ATTN") == "1",
-            "folded_attn": os.environ.get("CYCLEDIFFUSION_FOLDED_ATTN") == "1",
+            "folded_attn": os.environ.get("CYCLEDIFFUSION_FOLDED_ATTN", ""),
         },
         "batch": batch,
         "s_per_chain": round(per, 4),
