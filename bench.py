@@ -385,7 +385,13 @@ def _run_extras(platform: str, extra: dict) -> None:
             _log(f"extra: full translate batch 4 FAILED: {e}")
 
 
+_LAST_GOOD: dict = {}  # last real (value > 0) headline, for the fatal path
+
+
 def _headline(images_per_min: float, extra: dict) -> str:
+    if images_per_min > 0:
+        _LAST_GOOD["value"] = images_per_min
+        _LAST_GOOD["extra"] = dict(extra)
     return json.dumps({
         "metric": ("SD-512 50-step translated images/min/chip; "
                    "per-step UNet latency p50"),
@@ -549,7 +555,15 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # noqa: BLE001 — last resort: a parseable line
         _log(f"FATAL: {type(e).__name__}: {e}")
-        print(_headline(0.0, {
-            "fatal_error": f"{type(e).__name__}: {e}"[:300],
-        }), flush=True)
+        err = f"{type(e).__name__}: {e}"[:300]
+        if _LAST_GOOD:
+            # A real measurement already printed: the LAST line is the
+            # authoritative one, so re-emit it (annotated) rather than
+            # superseding it with a value-0 line (the BENCH_r03 lost-artifact
+            # failure mode, this time from a post-measurement exception).
+            print(_headline(_LAST_GOOD["value"], {
+                **_LAST_GOOD["extra"], "fatal_error_after_measurement": err,
+            }), flush=True)
+        else:
+            print(_headline(0.0, {"fatal_error": err}), flush=True)
         raise SystemExit(0)

@@ -87,7 +87,11 @@ class CrossAttention(nn.Module):
         fuse = os.environ.get("CYCLEDIFFUSION_FUSED_QKV") == "1"
         xd = x.astype(self.dtype)
         folded = os.environ.get("CYCLEDIFFUSION_FOLDED_ATTN")
+        # NO_FLASH_ATTN is the kernel-failure escape hatch (bench.py retries
+        # on it) — it must defeat the folded Pallas paths too, or the retry
+        # rebuilds the exact program that just failed.
         if (context is None and x.shape[1] >= 2048 and folded in ("1", "qo")
+                and os.environ.get("CYCLEDIFFUSION_NO_FLASH_ATTN") != "1"
                 and jax.default_backend() == "tpu"):
             # opt-in whole-block Pallas kernels (PERF.md round-4 A/B: both
             # measured slightly SLOWER than the dispatch default at the SD

@@ -49,3 +49,14 @@ def test_core_failure_retries_einsum_path():
     head = _run_bench({"CYCLEDIFFUSION_BENCH_FAIL_CORE": "1"})
     assert head["value"] > 0
     assert "batch1 flash path failed" in head["extra"]["core_notes"]
+
+
+def test_fatal_after_measurement_reemits_last_good_headline():
+    """An exception AFTER the headline printed must not supersede it with a
+    value-0 line — the last line is authoritative, so the fatal handler
+    re-emits the measured headline annotated with the error."""
+    # a non-numeric extras budget makes main() raise at float(), which is
+    # after the real headline print
+    head = _run_bench({"CYCLEDIFFUSION_BENCH_EXTRA_BUDGET": "notanumber"})
+    assert head["value"] > 0
+    assert "ValueError" in head["extra"]["fatal_error_after_measurement"]

@@ -59,15 +59,32 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
 _COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter", "all-to-all")
 
 
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+_COLL_RE = re.compile(
+    r"= (.*?) (" + "|".join(_COLLECTIVES) + r")(?:-start)?\("
+)
+
+
 def _collective_outputs(hlo_text):
-    """[(op, dtype, dims tuple, bytes)] for every collective in the HLO."""
+    """[(op, dtype, dims tuple, bytes)] for every collective in the HLO.
+
+    Matches sync, async (``-start``; ``-done`` lines are skipped so each
+    collective counts once), and tuple-shaped (combiner-merged) forms —
+    XLA's all-gather/all-reduce combiner emits
+    ``(f32[a,b], f32[c,d]) all-gather(...)``, which a single-shape regex
+    would silently skip, making the weight-size assertions vacuous.
+    """
     out = []
-    for op in _COLLECTIVES:
-        for dt, dims in re.findall(
-            rf"= ([a-z0-9]+)\[([0-9,]*)\][^ ]* {op}\(", hlo_text
-        ):
+    for line in hlo_text.splitlines():
+        m = _COLL_RE.search(line)
+        if not m:
+            continue
+        lhs, op = m.group(1), m.group(2)
+        for dt, dims in _SHAPE_RE.findall(lhs):
+            if dt not in _DTYPE_BYTES:
+                continue  # e.g. the u32[] context token of async starts
             shape = tuple(int(d) for d in dims.split(",") if d)
-            size = _DTYPE_BYTES.get(dt, 4)
+            size = _DTYPE_BYTES[dt]
             for d in shape:
                 size *= d
             out.append((op, dt, shape, size))

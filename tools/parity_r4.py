@@ -49,8 +49,9 @@ _ap.add_argument("--steps", type=int, default=50,
 _ap.add_argument("--es", type=int, default=100,
                  help="AFHQ es_steps (tracked config 1: 100)")
 _ap.add_argument("--refine", type=int, default=30,
-                 help="AFHQ refine_steps (grid entries; reference cfg "
-                      "uses 100 of a 1000-grid — same ratio scaled)")
+                 help="AFHQ refine_steps (grid entries; reference cfg uses "
+                      "100 of a 1000-grid — 30 of the 100-grid here runs "
+                      "the refine loop 3x denser than the scaled ratio)")
 _ap.add_argument("--only", default="",
                  help="comma list: afhq,ldm (default both)")
 ARGS = _ap.parse_args()
@@ -383,7 +384,12 @@ def main():
     lpips_params = real if real is not None else jlpips.random_lpips_params()
     metric = "lpips-vgg16" if real is not None else "lpips-random-vgg16"
     bound = 1e-2
-    which = set(ARGS.only.split(",")) if ARGS.only else {"afhq", "ldm"}
+    valid = {"afhq", "ldm"}
+    which = ({w.strip() for w in ARGS.only.split(",") if w.strip()}
+             if ARGS.only else valid)
+    unknown = which - valid
+    assert not unknown, f"--only: unknown configs {sorted(unknown)} " \
+                        f"(valid: {sorted(valid)})"
 
     entries = {}
     if "ldm" in which:

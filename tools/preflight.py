@@ -110,6 +110,11 @@ STEPS = {
 def main(argv: list[str]) -> int:
     names = list(STEPS)
     for i, a in enumerate(argv):
+        if a in ("--only", "--skip"):
+            if i + 1 >= len(argv):
+                print(f"usage: {a} NAME[,NAME...]  (have {list(STEPS)})",
+                      file=sys.stderr)
+                return 2
         if a == "--only":
             names = [n.strip() for n in argv[i + 1].split(",")]
         elif a == "--skip":
