@@ -421,8 +421,9 @@ def main():
     # latency: batch 1 (the metric's per-step p50 definition).  A compile
     # failure here (e.g. a Pallas kernel regression — BENCH_r03 rc=1) falls
     # back to the einsum attention path so SOME real measurement lands.
+    fail_core = os.environ.get("CYCLEDIFFUSION_BENCH_FAIL_CORE")
     try:
-        if os.environ.get("CYCLEDIFFUSION_BENCH_FAIL_CORE") == "1":
+        if fail_core in ("1", "always"):
             raise RuntimeError("induced core failure (test hook)")
         per_image = _measure(chain, params, x_T, eps, ctx, steps, reps)
     except Exception as e:  # noqa: BLE001 — never lose the JSON line
@@ -432,6 +433,8 @@ def main():
             f"batch1 flash path failed: {type(e).__name__}: {e}"[:200])
         os.environ["CYCLEDIFFUSION_NO_FLASH_ATTN"] = "1"
         chain, params, x_T, eps, ctx, steps, config_name = build(platform)
+        if fail_core == "always":  # test hook: no measurement ever lands
+            raise RuntimeError("induced total core failure (test hook)")
         per_image = _measure(chain, params, x_T, eps, ctx, steps, reps)
     per_step_ms = per_image / steps * 1000.0
     _log(f"core batch-1: {per_image:.3f} s/img ({per_step_ms:.2f} ms/step)")
@@ -564,6 +567,9 @@ if __name__ == "__main__":
             print(_headline(_LAST_GOOD["value"], {
                 **_LAST_GOOD["extra"], "fatal_error_after_measurement": err,
             }), flush=True)
-        else:
-            print(_headline(0.0, {"fatal_error": err}), flush=True)
-        raise SystemExit(0)
+            raise SystemExit(0)
+        # no measurement ever landed: emit the value-0 line for parsers that
+        # only read the JSON, but exit NONZERO so rc alone distinguishes a
+        # totally failed bench from a successful one (advisor r4)
+        print(_headline(0.0, {"fatal_error": err}), flush=True)
+        raise SystemExit(1)

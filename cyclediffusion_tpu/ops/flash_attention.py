@@ -29,6 +29,106 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK_Q = 1024
 BLOCK_K = 1024
 _NEG_INF = -1e30
+_DEFAULT_VMEM_LIMIT_MB = 96
+
+
+def _vmem_limit_bytes() -> int:
+    """Scoped-VMEM limit for the packed/folded kernels (single parse point).
+
+    Mosaic's conservative scoped-VMEM estimate grows (weakly) with the
+    leading grid extent and with the upstream producer's HLO layout: at
+    hd=320 / (512, 2048) blocks it reads ~15.x MB at small b but 16.77 MB
+    under a fused-qkv producer at b=8 and 16.8 MB at b=30 — over the 16 MB
+    DEFAULT limit, though the kernels' actual live buffers total ~8 MB
+    (double-buffered q/k/v/o blocks + fp32 scratch) and v5e has 128 MB
+    physical VMEM.  Raising the limit lets the tuned block_k compile at
+    every batch instead of degrading (the old b>8 -> block_k=1024 cap cost
+    ~14% per image on the 30-candidate ensemble and still broke at b=8
+    exactly: BENCH_r03 rc=1).  The env override exists so
+    tools/preflight.py can prove it would catch the regression (set 16 to
+    reproduce the r3 compile OOM).
+    """
+    raw = os.environ.get(
+        "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", str(_DEFAULT_VMEM_LIMIT_MB))
+    try:
+        mb = int(raw)
+    except ValueError:
+        raise ValueError(
+            "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB must be an integer number of"
+            f" megabytes, got {raw!r}") from None
+    return mb * 1024 * 1024
+
+
+def _kv_mask(bq: int, kb, block_k: int, nk: int, kv_actual: int):
+    """-inf mask for zero-padded key columns, or None when nothing is padded
+    (padded keys — e.g. a 77-token CLIP context padded to the 128-lane
+    block — must not enter the softmax)."""
+    if kv_actual >= block_k * nk:
+        return None
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+    return col < kv_actual
+
+
+def _mha_online_update(get_q, get_k, get_v, m_ref, l_ref, acc_ref, *,
+                       sm_scale: float, num_heads: int, head_dim: int, mask):
+    """One k-block online-softmax update for every head of a packed q-block.
+
+    The single shared body of ``_packed_kernel`` / ``_folded_kernel`` /
+    ``_qout_kernel`` (they differ only in where the (T, H*D) q/k/v values
+    come from, abstracted by the per-head-slice getters).  Softmax state
+    (m, l, acc) is carried in VMEM scratch across the kb grid walk.
+    ``get_q/get_k/get_v`` take a lane ``slice`` and return the (rows, D)
+    block for that head.
+    """
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = get_q(sl)
+        kh = get_k(sl)
+        vh = get_v(sl)
+        # scale the fp32 logits AFTER the matmul (scaling bf16 q first would
+        # round the scaled operand)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                     # (BQ, BK) fp32
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, h:h + 1]
+        l_prev = l_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new).astype(vh.dtype)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:, h:h + 1] = m_new
+        # ones-augmented V: the PV matmul's padded output lanes are free, so
+        # lane `head_dim` carries sum(p) — the softmax denominator rides the
+        # MXU instead of costing a VPU reduction pass over (BQ, BK)
+        v_aug = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
+        out_aug = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (BQ, D+1) fp32
+        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+
+
+def _normalize_acc(acc_ref, l_ref, *, num_heads: int, head_dim: int):
+    """Divide each head's accumulator by its softmax denominator, in place."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        acc_ref[:, sl] = acc_ref[:, sl] / l_ref[:, h:h + 1]
+
+
+def _project_flush(acc_ref, l_ref, wo_ref, bo_ref, o_ref, attn_dtype, *,
+                   num_heads: int, head_dim: int):
+    """Final flush for the folded variants: normalize, out-project, bias."""
+    _normalize_acc(acc_ref, l_ref, num_heads=num_heads, head_dim=head_dim)
+    attn = acc_ref[:].astype(attn_dtype)
+    out = jax.lax.dot_general(
+        attn, wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
@@ -147,42 +247,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    mask = None
-    if kv_actual < block_k * nk:
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (q_ref.shape[1], block_k), 1)
-        mask = col < kv_actual
-
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q_ref[0][:, sl]
-        kh = k_ref[0][:, sl]
-        vh = v_ref[0][:, sl]
-        # scale the fp32 logits AFTER the matmul (matches _flash_kernel;
-        # scaling bf16 q first would round the scaled operand)
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale                                     # (BQ, BK) fp32
-        if mask is not None:
-            s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[:, h:h + 1]
-        l_prev = l_ref[:, h:h + 1]
-        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new).astype(vh.dtype)
-        alpha = jnp.exp(m_prev - m_new)
-        m_ref[:, h:h + 1] = m_new
-        # ones-augmented V: the PV matmul's padded output lanes are free, so
-        # lane `head_dim` carries sum(p) — the softmax denominator rides the
-        # MXU instead of costing a VPU reduction pass over (BQ, BK)
-        v_aug = jnp.concatenate(
-            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
-        out_aug = jax.lax.dot_general(
-            p, v_aug, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (BQ, D+1) fp32
-        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
-        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+    mask = _kv_mask(q_ref.shape[1], kb, block_k, nk, kv_actual)
+    _mha_online_update(
+        lambda sl: q_ref[0][:, sl],
+        lambda sl: k_ref[0][:, sl],
+        lambda sl: v_ref[0][:, sl],
+        m_ref, l_ref, acc_ref,
+        sm_scale=sm_scale, num_heads=num_heads, head_dim=head_dim, mask=mask)
 
     @pl.when(kb == nk - 1)
     def _flush():
@@ -242,21 +313,8 @@ def flash_attention_packed(q, k, v, num_heads: int, sm_scale: float, *,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # Mosaic's conservative scoped-VMEM estimate grows (weakly) with
-            # the leading grid extent and with the upstream producer's HLO
-            # layout: at hd=320 / (512, 2048) blocks it reads ~15.x MB at
-            # small b but 16.77 MB under the fused-qkv producer at b=8 and
-            # 16.8 MB at b=30 — over the 16 MB DEFAULT limit, though the
-            # kernel's actual live buffers total ~8 MB (double-buffered
-            # q/k/v/o blocks + fp32 scratch) and v5e has 128 MB physical
-            # VMEM.  Raise the limit so the tuned block_k compiles at every
-            # batch instead of degrading (the old b>8 -> block_k=1024 cap
-            # cost ~14% per image on the 30-candidate ensemble and still
-            # broke at b=8 exactly: BENCH_r03 rc=1).  The env override
-            # exists so tools/preflight.py can prove it would catch the
-            # regression (set 16 to reproduce the r3 compile OOM).
-            vmem_limit_bytes=int(os.environ.get(
-                "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "96")) * 1024 * 1024,
+            # see _vmem_limit_bytes for why the 16 MB default is overridden
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(qp, kp, vp)
@@ -306,51 +364,19 @@ def _folded_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
             preferred_element_type=jnp.float32,
         ).astype(v_scr.dtype)
 
-    bq = q_scr.shape[0]
-    mask = None
-    if kv_actual < block_k * nk:
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        mask = col < kv_actual
-
     rows = pl.ds(kb * block_k, block_k)
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q_scr[:, sl]
-        kh = k_scr[rows, sl]
-        vh = v_scr[rows, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if mask is not None:
-            s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[:, h:h + 1]
-        l_prev = l_ref[:, h:h + 1]
-        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new).astype(vh.dtype)
-        alpha = jnp.exp(m_prev - m_new)
-        m_ref[:, h:h + 1] = m_new
-        v_aug = jnp.concatenate(
-            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
-        out_aug = jax.lax.dot_general(
-            p, v_aug, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
-        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+    mask = _kv_mask(q_scr.shape[0], kb, block_k, nk, kv_actual)
+    _mha_online_update(
+        lambda sl: q_scr[:, sl],
+        lambda sl: k_scr[rows, sl],
+        lambda sl: v_scr[rows, sl],
+        m_ref, l_ref, acc_ref,
+        sm_scale=sm_scale, num_heads=num_heads, head_dim=head_dim, mask=mask)
 
     @pl.when(kb == nk - 1)
     def _flush():
-        for h in range(num_heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            acc_ref[:, sl] = acc_ref[:, sl] / l_ref[:, h:h + 1]
-        attn = acc_ref[:].astype(q_scr.dtype)
-        out = jax.lax.dot_general(
-            attn, wo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bo_ref[:].astype(jnp.float32)
-        o_ref[0] = out.astype(o_ref.dtype)
+        _project_flush(acc_ref, l_ref, wo_ref, bo_ref, o_ref, q_scr.dtype,
+                       num_heads=num_heads, head_dim=head_dim)
 
 
 def _qout_kernel(xq_ref, k_ref, v_ref, wq_ref, wo_ref, bo_ref, o_ref,
@@ -378,50 +404,18 @@ def _qout_kernel(xq_ref, k_ref, v_ref, wq_ref, wo_ref, bo_ref, o_ref,
             preferred_element_type=jnp.float32,
         ).astype(q_scr.dtype)
 
-    bq = q_scr.shape[0]
-    mask = None
-    if kv_actual < block_k * nk:
-        col = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        mask = col < kv_actual
-
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q_scr[:, sl]
-        kh = k_ref[0][:, sl]
-        vh = v_ref[0][:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if mask is not None:
-            s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[:, h:h + 1]
-        l_prev = l_ref[:, h:h + 1]
-        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new).astype(vh.dtype)
-        alpha = jnp.exp(m_prev - m_new)
-        m_ref[:, h:h + 1] = m_new
-        v_aug = jnp.concatenate(
-            [vh, jnp.ones((vh.shape[0], 1), vh.dtype)], axis=1)
-        out_aug = jax.lax.dot_general(
-            p, v_aug, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        l_ref[:, h:h + 1] = l_prev * alpha + out_aug[:, head_dim:head_dim + 1]
-        acc_ref[:, sl] = acc_ref[:, sl] * alpha + out_aug[:, :head_dim]
+    mask = _kv_mask(q_scr.shape[0], kb, block_k, nk, kv_actual)
+    _mha_online_update(
+        lambda sl: q_scr[:, sl],
+        lambda sl: k_ref[0][:, sl],
+        lambda sl: v_ref[0][:, sl],
+        m_ref, l_ref, acc_ref,
+        sm_scale=sm_scale, num_heads=num_heads, head_dim=head_dim, mask=mask)
 
     @pl.when(kb == nk - 1)
     def _flush():
-        for h in range(num_heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            acc_ref[:, sl] = acc_ref[:, sl] / l_ref[:, h:h + 1]
-        attn = acc_ref[:].astype(q_scr.dtype)
-        out = jax.lax.dot_general(
-            attn, wo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bo_ref[:].astype(jnp.float32)
-        o_ref[0] = out.astype(o_ref.dtype)
+        _project_flush(acc_ref, l_ref, wo_ref, bo_ref, o_ref, q_scr.dtype,
+                       num_heads=num_heads, head_dim=head_dim)
 
 
 def qout_self_attention_block(x, wq, k, v, wo, bo, num_heads: int, *,
@@ -478,8 +472,7 @@ def qout_self_attention_block(x, wq, k, v, wo, bo, num_heads: int, *,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=int(os.environ.get(
-                "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "96")) * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(xq, kp, vp, wq, wo, bo2)
@@ -547,10 +540,9 @@ def fused_self_attention_block(x, wq, wk, wv, wo, bo, num_heads: int, *,
         ],
         compiler_params=pltpu.CompilerParams(
             # k/v scratch persists across the qi walk, so qi is sequential
-            # ("arbitrary") too; see _packed_kernel for the vmem_limit note
+            # ("arbitrary") too; see _vmem_limit_bytes for the limit note
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=int(os.environ.get(
-                "CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "96")) * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(xq, xkv, wq, wk, wv, wo, bo2)

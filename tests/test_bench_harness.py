@@ -15,7 +15,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
-def _run_bench(extra_env):
+def _run_bench(extra_env, expect_rc=0):
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
@@ -27,7 +27,8 @@ def _run_bench(extra_env):
         [sys.executable, BENCH], env=env, cwd=REPO,
         capture_output=True, text=True, timeout=600,
     )
-    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.returncode == expect_rc, (proc.returncode,
+                                          proc.stderr[-2000:])
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert lines, f"no stdout lines; stderr: {proc.stderr[-2000:]}"
     # every printed line must be valid headline JSON; the last wins
@@ -60,3 +61,13 @@ def test_fatal_after_measurement_reemits_last_good_headline():
     head = _run_bench({"CYCLEDIFFUSION_BENCH_EXTRA_BUDGET": "notanumber"})
     assert head["value"] > 0
     assert "ValueError" in head["extra"]["fatal_error_after_measurement"]
+
+
+def test_total_failure_exits_nonzero_with_value0_line():
+    """When NO measurement ever lands, the line is value-0 AND rc is
+    nonzero, so consumers can distinguish a totally failed bench from a
+    successful one by rc alone (advisor r4)."""
+    head = _run_bench({"CYCLEDIFFUSION_BENCH_FAIL_CORE": "always"},
+                      expect_rc=1)
+    assert head["value"] == 0
+    assert "RuntimeError" in head["extra"]["fatal_error"]
