@@ -16,19 +16,27 @@ from cyclediffusion_tpu.models.clip import clip_preprocess
 
 
 def clip_energy_fn(core, scorer: CLIPScorer, text_feature: jnp.ndarray,
-                   weight_prior: float = 0.0):
+                   weight_prior: float = 0.0, *,
+                   core_params=None, clip_params=None):
     """-> energy_fn(x_t, pred_x0, t) maximizing <CLIP(decode(x0_hat)), text>.
 
     ``text_feature``: (1, D) unit-norm target embedding (precompute via
     ``scorer.embed_text``).  Optional Gaussian prior term on x_t
     (PriorZEnergy-style) with weight ``weight_prior``.
+
+    ``core_params``/``clip_params``: pass the weight trees explicitly when
+    building the energy INSIDE a jitted function so they stay traced
+    arguments — the default closure over ``core.params``/``scorer.params``
+    bakes both weight sets into the compiled program as constants (the
+    PERF.md full-pipeline lesson), which at SD scale is gigabytes of
+    program.
     """
 
     def energy_fn(x_t, pred_x0, t):
-        img = core.decode_first_stage(pred_x0)          # [-1, 1]
+        img = core.decode_first_stage(pred_x0, core_params)   # [-1, 1]
         img01 = jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
         feats = scorer.model.apply(
-            scorer.params,
+            scorer.params if clip_params is None else clip_params,
             clip_preprocess(img01, scorer.config.image_resolution),
             method=scorer.model.encode_image,
         )

@@ -419,22 +419,30 @@ def ddim_refine(
     *,
     refine_steps: int,
     temperature: float = 1.0,
+    q_noise: Optional[jnp.ndarray] = None,
+    chain_eps: Optional[jnp.ndarray] = None,
 ):
     """Stochastic refinement: re-noise x0 to ``refine_steps - 1`` and re-denoise.
 
     Reference ``refine``/``_refine`` (ddim.py:114-168, :339-393): x_t drawn at
     ``ddim_alphas[refine_steps-1]``, then plain p_sample_ddim over the last
-    ``refine_steps`` indices.
+    ``refine_steps`` indices.  ``sched`` must be built at the refine eta (the
+    reference re-runs make_schedule with eta=1 inside ``refine``).
+    ``q_noise`` (x0-shaped) and ``chain_eps`` (time-major
+    ``(refine_steps, B, H, W, C)``) override the PRNG draws for parity
+    validation — the same seam the pixel path grew in round 4
+    (``pixel_generate`` refine_q_noises/refine_chain_noises).
     """
     assert refine_steps < sched.num_steps
     k_q, k_chain = jax.random.split(key)
-    noise = jax.random.normal(k_q, x0.shape, x0.dtype)
-    xt = steps.q_sample(x0, sched.alphas[refine_steps - 1], noise)
+    if q_noise is None:
+        q_noise = jax.random.normal(k_q, x0.shape, x0.dtype)
+    xt = steps.q_sample(x0, sched.alphas[refine_steps - 1], q_noise)
     return ddim_decode(
         model_fn,
         sched,
         xt,
-        None,
+        chain_eps,
         k_chain,
         skip_steps=sched.num_steps - refine_steps,
         temperature=temperature,

@@ -207,6 +207,78 @@ def test_vae_parity():
     check(dec, ref_dec_out)
 
 
+def test_vq_parity():
+    """VQModelInterface surface (latentdiff ldm/models/autoencoder.py:263-283,
+    the FFHQ/CelebA first stage): ``encode`` returns PRE-quant h, ``decode``
+    quantizes (taming VectorQuantizer2 nearest-neighbor lookup — taming isn't
+    installed, so its inference path is re-executed here as the oracle) then
+    post_quant_conv + decoder."""
+    from ldm.modules.diffusionmodules.model import (
+        Decoder as RefDecoder,
+        Encoder as RefEncoder,
+    )
+
+    dd = dict(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=[], in_channels=3, resolution=16,
+              z_channels=3, double_z=False, dropout=0.0)
+    torch.manual_seed(0)
+    ref_enc = RefEncoder(**dd).eval()
+    ref_dec = RefDecoder(**dd).eval()
+    quant_conv = torch.nn.Conv2d(3, 3, 1)
+    post_quant = torch.nn.Conv2d(3, 3, 1)
+    n_embed, embed_dim = 64, 3
+    embedding = torch.nn.Embedding(n_embed, embed_dim)
+    embedding.weight.data.uniform_(-1.0 / n_embed, 1.0 / n_embed)
+
+    def ref_quantize(z):
+        # taming VectorQuantizer2.forward inference path: (B,C,H,W) ->
+        # (B,H,W,C), flat L2 argmin over the codebook, lookup, back
+        z = z.permute(0, 2, 3, 1).contiguous()
+        flat = z.view(-1, embed_dim)
+        d = (torch.sum(flat ** 2, dim=1, keepdim=True)
+             + torch.sum(embedding.weight ** 2, dim=1)
+             - 2.0 * flat @ embedding.weight.t())
+        idx = torch.argmin(d, dim=1)
+        z_q = embedding(idx).view(z.shape)
+        return z_q.permute(0, 3, 1, 2).contiguous()
+
+    sd = {}
+    sd.update({f"encoder.{k}": v for k, v in ref_enc.state_dict().items()})
+    sd.update({f"decoder.{k}": v for k, v in ref_dec.state_dict().items()})
+    sd.update({f"quant_conv.{k}": v for k, v in quant_conv.state_dict().items()})
+    sd.update({f"post_quant_conv.{k}": v
+               for k, v in post_quant.state_dict().items()})
+    sd["quantize.embedding.weight"] = embedding.weight
+
+    from cyclediffusion_tpu.models.autoencoder import DDConfig, VQModel
+
+    cfg = DDConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                   attn_resolutions=(), in_channels=3, resolution=16,
+                   z_channels=3, double_z=False)
+    model = VQModel(cfg, n_embed=n_embed, embed_dim=embed_dim)
+    params = convert_vae(to_np(sd))
+
+    x = np.random.RandomState(4).randn(1, 16, 16, 3).astype(np.float32)
+    h = model.apply(params, jnp.asarray(x), method=model.encode)
+    with torch.no_grad():
+        ref_h = quant_conv(ref_enc(nchw(x)))
+    check(h, ref_h)
+
+    # decode WITH quantization — the product path (decode_first_stage for a
+    # VQ first stage goes through the codebook lookup)
+    dec = model.apply(params, h, method=model.decode)
+    with torch.no_grad():
+        ref_out = ref_dec(post_quant(ref_quantize(ref_h)))
+    check(dec, ref_out)
+
+    # force_not_quantize escape hatch bypasses the codebook
+    dec2 = model.apply(params, h, method=model.decode,
+                       force_not_quantize=True)
+    with torch.no_grad():
+        ref_out2 = ref_dec(post_quant(ref_h))
+    check(dec2, ref_out2)
+
+
 def test_clip_text_parity():
     from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
 
