@@ -148,6 +148,21 @@ def test_folded_block_matches_module_bf16():
     assert err < 3e-2, err
 
 
+def test_vmem_limit_env_contract(monkeypatch):
+    """Single parse point for CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB: default,
+    override, and a CLEAR error for malformed values (advisor r4 — a bare
+    int() raised an opaque ValueError mid-trace)."""
+    from cyclediffusion_tpu.ops.flash_attention import _vmem_limit_bytes
+
+    monkeypatch.delenv("CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", raising=False)
+    assert _vmem_limit_bytes() == 96 * 1024 * 1024
+    monkeypatch.setenv("CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "16")
+    assert _vmem_limit_bytes() == 16 * 1024 * 1024
+    monkeypatch.setenv("CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB", "lots")
+    with pytest.raises(ValueError, match="CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB"):
+        _vmem_limit_bytes()
+
+
 def test_dispatch_falls_back_off_tpu():
     # on CPU the dispatcher must take the einsum path and agree exactly
     b, t, heads, d = 2, 2048, 4, 32
