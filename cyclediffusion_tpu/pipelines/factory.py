@@ -109,7 +109,12 @@ def _build_latent(kwargs) -> LatentDiffStochasticPipeline:
     )
     assert not kwargs, f"unused gan kwargs: {kwargs}"
     if model_type.startswith("tiny"):
-        spec = LatentCoreSpec.tiny(cond_kind=None)
+        # "tiny" = kl first stage (32px); "tiny_vq" = VQ first stage at 16px
+        # (the FFHQ/CelebA VQModelInterface path, quantized decode + refine)
+        fs_kind = "vq" if model_type == "tiny_vq" else "kl"
+        spec = LatentCoreSpec.tiny(
+            cond_kind=None, fs_kind=fs_kind,
+            resolution=16 if fs_kind == "vq" else 32)
         core = LatentDiffusionCore.random_init(spec, key)
     else:
         spec, path, use_ema = _latent_spec(model_type)

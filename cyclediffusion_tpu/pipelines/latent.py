@@ -165,9 +165,13 @@ class LatentCoreSpec:
         )
 
     @staticmethod
-    def tiny(cond_kind: Optional[str] = "clip", resolution: int = 32
-             ) -> "LatentCoreSpec":
-        """CPU-runnable miniature (latent 8x8) for tests/smoke benches."""
+    def tiny(cond_kind: Optional[str] = "clip", resolution: int = 32,
+             fs_kind: str = "kl") -> "LatentCoreSpec":
+        """CPU-runnable miniature (latent 8x8) for tests/smoke benches.
+
+        ``fs_kind='vq'`` miniaturizes the FFHQ/CelebA first stage instead
+        (VQModelInterface: double_z=False, codebook quantization on decode,
+        scale_factor 1 — ffhq-ldm-vq-4.yaml)."""
         cond_cfg = None
         context_dim = None
         if cond_kind == "clip":
@@ -180,7 +184,7 @@ class LatentCoreSpec:
                                      dim_head=12, max_seq_len=16)
             context_dim = 24
         return LatentCoreSpec(
-            name=f"tiny_latent_{cond_kind}",
+            name=f"tiny_latent_{cond_kind}_{fs_kind}",
             unet=GDUNetConfig(
                 in_channels=4, model_channels=32, out_channels=4,
                 num_res_blocks=1, attention_resolutions=(1, 2),
@@ -190,8 +194,10 @@ class LatentCoreSpec:
             ),
             first_stage=DDConfig(ch=16, ch_mult=(1, 2, 4), num_res_blocks=1,
                                  resolution=resolution, z_channels=4,
-                                 double_z=True, attn_resolutions=()),
-            fs_kind="kl", embed_dim=4, scale_factor=0.18215,
+                                 double_z=(fs_kind == "kl"),
+                                 attn_resolutions=()),
+            fs_kind=fs_kind, embed_dim=4, n_embed=64,
+            scale_factor=0.18215 if fs_kind == "kl" else 1.0,
             linear_start=0.00085, linear_end=0.012, num_timesteps=100,
             cond_kind=cond_kind, cond_cfg=cond_cfg, resolution=resolution,
         )

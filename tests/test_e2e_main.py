@@ -31,6 +31,27 @@ def test_tiny_unpaired_translation_e2e(tmp_path):
 
 
 @pytest.mark.slow
+def test_tiny_unpaired_latent_e2e(tmp_path):
+    """The LatentDiffStochastic gan_type end to end (BASELINE tracked
+    config 2's wrapper): uncond VQ-f4 latent LDMs, eps-replay + eta=1
+    refine, quantized VQ decode — the 4th and last factory dispatch with
+    CLI coverage."""
+    out = str(tmp_path / "unpaired_latent")
+    metrics = cli.main([
+        "--cfg", "experiments/tiny_unpaired_latent.cfg",
+        "--output_dir", out,
+        "--seed", "42",
+        "--do_eval",
+        "--per_device_eval_batch_size", "2",
+    ])
+    assert "eval_runtime" in metrics
+    results = json.load(open(os.path.join(out, "eval_results.json")))
+    assert results["eval_samples"] == 2
+    vis = os.listdir(os.path.join(out, "visualization"))
+    assert any(f.startswith("eval_") for f in vis)
+
+
+@pytest.mark.slow
 def test_tiny_text_translation_e2e(tmp_path):
     out = str(tmp_path / "text")
     metrics = cli.main([
