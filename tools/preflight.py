@@ -20,8 +20,12 @@ concurrent load):
 
 Usage: python tools/preflight.py [--only a,b] [--skip a,b]
 Exit code 0 iff every selected program compiles.  Negative self-test:
-CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB=16 python tools/preflight.py --only core_b4
-reproduces the r3 regression and must FAIL.
+CYCLEDIFFUSION_FLASH_VMEM_LIMIT_MB=6 python tools/preflight.py --only core_b4
+must FAIL (proves the limit is honored and a scoped-VMEM regression would
+be caught here, not in the driver's bench).  The threshold moved 16 -> 6
+in round 5: the online-softmax dedup dropped Mosaic's estimate at the b=8
+headline shape below the 16 MB default that the r3 fused-qkv producer
+blew (16.77 MB).  Re-verify the failing limit after kernel changes.
 """
 
 from __future__ import annotations
