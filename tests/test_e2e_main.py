@@ -71,6 +71,25 @@ def test_tiny_text_translation_e2e(tmp_path):
 
 
 @pytest.mark.slow
+def test_tiny_text_translation_latent_e2e(tmp_path):
+    """The LatentDiffStochasticText gan_type end to end (BASELINE tracked
+    config 3's wrapper): BERT-cond LDM text pipeline with the candidate
+    ensemble + DirectionalCLIP ranking — completes CLI coverage of all
+    four factory dispatches (reference get_gan_wrapper.py:17-30)."""
+    out = str(tmp_path / "text_latent")
+    metrics = cli.main([
+        "--cfg", "experiments/tiny_text_translation_latent.cfg",
+        "--output_dir", out,
+        "--seed", "42",
+        "--do_eval",
+        "--per_device_eval_batch_size", "2",
+    ])
+    assert "eval_translate/psnr" in metrics
+    assert "eval_translate/d-clip" in metrics
+    assert os.path.exists(os.path.join(out, "eval_results.csv"))
+
+
+@pytest.mark.slow
 def test_tiny_text_translation_fast_mode_e2e(tmp_path):
     """fast_key_every flows cfg -> factory -> cached encode/decode chains."""
     out = str(tmp_path / "text_fast")
